@@ -1,0 +1,178 @@
+"""Optimised binary 2D convolution paths.
+
+Two production lowerings, selected by the op layer (``ops.bconv2d``):
+
+1. ``bconv2d_bgemm``  — conv-as-GEMM on packed words: XLA-side packed im2col
+   (pure data movement, fused by XLA) followed by the Pallas xor-popcount
+   BGEMM with fused epilogue. TPU counterpart of
+   `core/bconv2d/optimized_bgemm.h:64-184` (im2col + ruy BGemm).
+
+2. ``bconv2d_mxu``    — unpack packed operands to +-1 bf16 and run the
+   convolution on the MXU via ``lax.conv_general_dilated``. +-1 products are
+   exact in bf16 and accumulation is fp32, so ``true_output = K - 2*accum``
+   is exact; the output transform is then applied in the conceptual domain.
+   There is no reference analogue — this path exists because the TPU's
+   systolic array at bf16 outpaces VPU popcounting for large convs; the
+   packed format still buys 32x weight-memory compression in HBM.
+
+Both paths implement zero-padding (SAME, pad_value=0) exactly for all output
+kinds via integer accumulator corrections, superseding the reference's
+float-only border correction (`core/bconv2d/zero_padding_correction.h`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.bitpack import bitpack, bitunpack
+from ..core.params import BConv2DParams
+from ..core.reference import (
+    extract_packed_patches,
+    outside_tap_mask,
+    zero_padding_accum_correction,
+)
+from ..core.transforms import (
+    OutputTransform,
+    apply_output_transform_bitpacked,
+    apply_output_transform_float,
+    apply_output_transform_int8,
+)
+from ..core.types import Padding
+from .bgemm import bgemm
+
+__all__ = ["bconv2d_bgemm", "bconv2d_mxu"]
+
+
+def _apply_transform(accum, transform, output_kind):
+    if output_kind == "float":
+        return apply_output_transform_float(accum, transform)
+    if output_kind == "int8":
+        return apply_output_transform_int8(accum, transform)
+    if output_kind == "bitpacked":
+        return apply_output_transform_bitpacked(accum, transform)
+    raise ValueError(output_kind)
+
+
+def bconv2d_bgemm(packed_input, packed_filter, transform: OutputTransform,
+                  params: BConv2DParams, output_kind: str = "float"):
+    """Packed im2col + Pallas xor-popcount BGEMM.
+
+    Args/returns: same contract as ``core.reference.bconv2d_reference``.
+    Groups are handled by blocking the GEMM per group (grouped filters keep
+    per-group packed depth, `tflite/kernels/bconv2d.cc:169-186`).
+    """
+    n, in_h, in_w, cp = packed_input.shape
+    c_out, fh, fw, cpg = packed_filter.shape
+    groups = params.groups
+    out_h, out_w, pad_top, pad_left = params.output_spatial(in_h, in_w, fh, fw)
+
+    patches = extract_packed_patches(
+        packed_input, fh, fw, params.stride, params.dilation, pad_top,
+        pad_left, out_h, out_w)  # (N, OH, OW, FH, FW, Cp)
+    m = n * out_h * out_w
+
+    zero_pad = params.padding == Padding.SAME and params.pad_value == 0
+    needs_accum = output_kind != "float" or zero_pad or groups > 1
+
+    if groups == 1:
+        lhs = patches.reshape(m, fh * fw * cp)
+        rhs = packed_filter.reshape(c_out, fh * fw * cpg).T
+        if needs_accum:
+            accum = bgemm(lhs, rhs, out_kind="accum")
+        else:
+            out = bgemm(lhs, rhs, transform.multiplier, transform.bias,
+                        clamp_min=transform.clamp_min,
+                        clamp_max=transform.clamp_max, out_kind="float")
+            return out.reshape(n, out_h, out_w, c_out)
+    else:
+        o_per_g = c_out // groups
+        p = patches.reshape(m, fh * fw, groups, cpg)
+        filt = packed_filter.reshape(groups, o_per_g, fh * fw * cpg)
+        accums = []
+        for g in range(groups):
+            lhs_g = p[:, :, g, :].reshape(m, fh * fw * cpg)
+            accums.append(bgemm(lhs_g, filt[g].T, out_kind="accum"))
+        accum = jnp.concatenate(accums, axis=-1)
+
+    accum = accum.reshape(n, out_h, out_w, c_out)
+    if zero_pad:
+        mask = outside_tap_mask(in_h, in_w, out_h, out_w, fh, fw,
+                                params.stride, params.dilation, pad_top,
+                                pad_left)
+        accum = accum + zero_padding_accum_correction(
+            packed_filter, params, mask)[None]
+    return _apply_transform(accum, transform, output_kind)
+
+
+def _true_output_transform(true_out, transform: OutputTransform,
+                           params: BConv2DParams, k: int, output_kind: str):
+    """Apply the output transform given the conceptual +-1 conv result.
+
+    ``true_out = K - 2*accum`` exactly, so ``accum = (K - true_out) / 2``;
+    we reconstruct integer accumulators and reuse the accumulator-domain
+    transforms for bit-exact parity with the packed paths.
+    """
+    accum = ((k - true_out.astype(jnp.int32)) // 2).astype(jnp.int32)
+    return _apply_transform(accum, transform, output_kind)
+
+
+def bconv2d_mxu(packed_input, packed_filter, transform: OutputTransform,
+                params: BConv2DParams, output_kind: str = "float",
+                unpacked_filter=None):
+    """Binary conv on the MXU: unpack to +-1 bf16, conv, exact transform.
+
+    ``unpacked_filter`` ((FH, FW, Cg, O) bf16 +-1) may be passed to skip
+    per-call filter unpacking (the converter can choose to store it).
+    """
+    n, in_h, in_w, cp = packed_input.shape
+    c_out, fh, fw, cpg = packed_filter.shape
+    groups = params.groups
+    c_in = params.channels_in
+    cg = c_in // groups
+    out_h, out_w, pad_top, pad_left = params.output_spatial(in_h, in_w, fh, fw)
+    k = params.backtransform_add(fh, fw)
+
+    x = bitunpack(packed_input, c_in, dtype=jnp.bfloat16)
+    if unpacked_filter is None:
+        w = bitunpack(packed_filter, cg, dtype=jnp.bfloat16)
+        w = jnp.transpose(w, (1, 2, 3, 0))  # (FH, FW, Cg, O)
+    else:
+        w = unpacked_filter
+
+    zero_pad = params.padding == Padding.SAME and params.pad_value == 0
+    # One-padding pads +1 values; zero-padding pads the literal value 0.
+    pad_const = 0.0 if zero_pad else 1.0
+    if params.padding == Padding.SAME:
+        eff_h = (fh - 1) * params.dilation[0] + 1
+        eff_w = (fw - 1) * params.dilation[1] + 1
+        pad_bottom = max(0, (out_h - 1) * params.stride[0] + eff_h
+                         - (in_h + pad_top))
+        pad_right = max(0, (out_w - 1) * params.stride[1] + eff_w
+                        - (in_w + pad_left))
+        x = jnp.pad(x, ((0, 0), (pad_top, pad_bottom), (pad_left, pad_right),
+                        (0, 0)), constant_values=pad_const)
+
+    true_out = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=params.stride,
+        padding="VALID",
+        rhs_dilation=params.dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+
+    if zero_pad and (cg % 2):
+        # Match the reference's integer zero-point quirk for odd per-group
+        # depth: each outside tap contributes floor(c/2) to the accumulator
+        # (`reference.h:74-77`), i.e. (c mod 2) to the true output.
+        mask = outside_tap_mask(in_h, in_w, out_h, out_w, fh, fw,
+                                params.stride, params.dilation, pad_top,
+                                pad_left)
+        n_outside = jnp.asarray(np.sum(mask, axis=(2, 3)), jnp.float32)
+        true_out = true_out + n_outside[None, :, :, None]
+
+    return _true_output_transform(true_out, transform, params, k, output_kind)

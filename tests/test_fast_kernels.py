@@ -1,0 +1,107 @@
+"""Optimised kernels (Pallas bgemm, MXU conv) vs the packed reference oracle.
+
+TPU analogue of running `tflite/tests/bconv2d_test.cc` over all kernel
+registrations (`:284-289`): every fast path must match the reference
+bit-exactly for all output kinds. On CPU the Pallas kernel runs in interpret
+mode; the same code path compiles on real TPU (verified by the e2e drive in
+`.claude/skills/verify`).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from compute_engine_tpu.core import (
+    Activation,
+    BConv2DParams,
+    OutputTransform,
+    Padding,
+    bitpack,
+    bconv2d_reference,
+    compute_output_thresholds,
+    fuse_output_transform,
+)
+from compute_engine_tpu.ops import bconv2d
+from compute_engine_tpu.kernels.bgemm import bgemm
+
+CASES = [
+    ((1, 8, 8, 32), (16, 3, 3), (1, 1), (1, 1), Padding.VALID, 1, 1,
+     Activation.NONE),
+    ((2, 7, 9, 64), (8, 3, 3), (1, 1), (1, 1), Padding.SAME, 1, 1,
+     Activation.NONE),
+    ((1, 8, 8, 64), (32, 3, 3), (2, 2), (1, 1), Padding.SAME, 1, 1,
+     Activation.RELU),
+    ((1, 10, 10, 33), (7, 2, 2), (1, 1), (2, 2), Padding.VALID, 1, 1,
+     Activation.NONE),
+    ((1, 8, 8, 64), (16, 3, 3), (1, 1), (1, 1), Padding.SAME, 0, 1,
+     Activation.NONE),
+    ((1, 6, 6, 128), (16, 3, 3), (1, 1), (1, 1), Padding.SAME, 1, 4,
+     Activation.RELU6),
+    ((1, 4, 4, 300), (40, 2, 2), (1, 1), (1, 1), Padding.SAME, 1, 1,
+     Activation.RELU_N1_TO_1),
+]
+
+
+def make_case(rng, case):
+    in_shape, (o, fh, fw), stride, dilation, padding, pad_value, groups, act \
+        = case
+    c = in_shape[-1]
+    params = BConv2DParams(channels_in=c, stride=stride, dilation=dilation,
+                           padding=padding, pad_value=pad_value,
+                           groups=groups, activation=act)
+    x = rng.choice(np.array([-1.0, 1.0], np.float32), size=in_shape)
+    w = rng.choice(np.array([-1.0, 1.0], np.float32),
+                   size=(o, fh, fw, c // groups))
+    post_mul = (rng.uniform(0.1, 2.0, o) * rng.choice([-1.0, 1.0], o)).astype(
+        np.float32)
+    post_bias = rng.uniform(-5.0, 5.0, o).astype(np.float32)
+    return params, bitpack(jnp.asarray(x)), bitpack(jnp.asarray(w)), \
+        post_mul, post_bias
+
+
+@pytest.mark.parametrize("kernel", ["bgemm", "mxu"])
+@pytest.mark.parametrize("case", CASES, ids=range(len(CASES)))
+@pytest.mark.parametrize("output_kind", ["float", "int8", "bitpacked"])
+def test_fast_kernel_bit_exact(kernel, case, output_kind, rng):
+    params, xp, wp, post_mul, post_bias = make_case(rng, case)
+    fh, fw = wp.shape[1], wp.shape[2]
+    k = params.backtransform_add(fh, fw)
+    if output_kind == "bitpacked":
+        thr = compute_output_thresholds(post_mul, post_bias, k,
+                                        params.activation)
+        transform = OutputTransform(thresholds=thr)
+    else:
+        scale, zp = (0.15, 3) if output_kind == "int8" else (None, 0)
+        transform = fuse_output_transform(post_mul, post_bias, k,
+                                          params.activation,
+                                          output_scale=scale,
+                                          output_zero_point=zp)
+    want = np.asarray(
+        bconv2d_reference(xp, wp, transform, params, output_kind))
+    got = np.asarray(
+        bconv2d(xp, wp, transform, params, output_kind, kernel=kernel))
+    if output_kind == "bitpacked":
+        # Accumulators and thresholds are integer-exact in every path.
+        np.testing.assert_array_equal(got, want)
+    elif output_kind == "int8":
+        # FMA association in the float epilogue may flip exact .5 rounding
+        # boundaries; off-by-one allowed, as in `bconv2d_test.cc:408-428`.
+        assert np.max(np.abs(got.astype(np.int32) - want.astype(np.int32))) <= 1
+    else:
+        # Float epilogue: same math, different FMA association -> ulp noise.
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("m,kw,n", [(7, 3, 5), (128, 18, 64), (200, 144, 130)])
+def test_bgemm_accum_matches_numpy(m, kw, n, rng):
+    """Raw accumulator output vs a numpy xor-popcount oracle."""
+    lhs = rng.integers(0, 2 ** 32, size=(m, kw), dtype=np.uint32)
+    rhs = rng.integers(0, 2 ** 32, size=(kw, n), dtype=np.uint32)
+    want = np.zeros((m, n), np.int64)
+    for k in range(kw):
+        x = np.bitwise_xor(lhs[:, k, None], rhs[None, k, :])
+        want += np.vectorize(lambda v: bin(v).count("1"))(x)
+    got = np.asarray(bgemm(jnp.asarray(lhs), jnp.asarray(rhs),
+                           out_kind="accum"))
+    np.testing.assert_array_equal(got, want)
