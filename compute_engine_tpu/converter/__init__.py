@@ -1,0 +1,17 @@
+"""Model converter: float parameter trees -> packed inference artifacts.
+
+TPU-native counterpart of the MLIR converter (`larq_compute_engine/mlir/`):
+because our model architecture is explicit (models.zoo + builders), the
+pattern-recognition passes collapse into direct weight transformation —
+BN folding, sign binarisation, compile-time bitpacking, threshold
+computation — performed by ``models.ConvertBuilder``.
+
+Public API mirrors `larq_compute_engine/__init__.py` (convert_keras_model /
+convert_saved_model):
+  convert(spec, params)            -> artifact layer dict
+  save_artifact / load_artifact    -> .npz packed-weight artifact
+  keras_import.import_keras_weights -> map a Larq/Keras model onto params
+"""
+
+from ..models.builder import convert_model as convert  # noqa: F401
+from .artifact import load_artifact, save_artifact  # noqa: F401

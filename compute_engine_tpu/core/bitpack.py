@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from .types import BITWIDTH, PACKED_DTYPE, packed_size
 
-__all__ = ["bitpack", "bitunpack", "packed_shape"]
+__all__ = ["bitpack", "bitunpack", "bitpack_np", "packed_shape"]
 
 
 def packed_shape(shape):
@@ -88,6 +88,36 @@ def bitpack(x, zero_point: int = 0):
     bits = bits.reshape(*x.shape[:-1], n_words, BITWIDTH).astype(PACKED_DTYPE)
     # Each bit occupies a distinct position, so a sum is a bitwise-or.
     return jnp.sum(bits * _bit_shifts(), axis=-1, dtype=PACKED_DTYPE)
+
+
+def bitpack_np(x, zero_point: int = 0) -> np.ndarray:
+    """Host-side (pure numpy) bitpack with identical semantics to
+    :func:`bitpack`. Used by the converter, which runs under ``jax.eval_shape``
+    where jnp ops would be staged out rather than executed."""
+    x = np.asarray(x)
+    channels = x.shape[-1]
+    n_words = packed_size(channels)
+    if x.dtype == np.bool_:
+        bits = x
+    elif np.issubdtype(x.dtype, np.floating):
+        if zero_point != 0:
+            raise ValueError("zero_point must be 0 for floating-point input")
+        bits = x < 0
+    else:
+        info = np.iinfo(x.dtype)
+        if zero_point <= info.min:
+            bits = np.zeros(x.shape, np.bool_)
+        elif zero_point > info.max:
+            bits = np.ones(x.shape, np.bool_)
+        else:
+            bits = x < np.asarray(zero_point, x.dtype)
+    pad = n_words * BITWIDTH - channels
+    if pad:
+        bits = np.concatenate(
+            [bits, np.zeros((*bits.shape[:-1], pad), np.bool_)], axis=-1)
+    bits = bits.reshape(*x.shape[:-1], n_words, BITWIDTH).astype(np.uint32)
+    shifts = np.left_shift(np.uint32(1), np.arange(BITWIDTH, dtype=np.uint32))
+    return np.bitwise_or.reduce(bits * shifts, axis=-1).astype(np.uint32)
 
 
 def bitunpack(packed, channels: int, zero_bit_result=1, one_bit_result=-1,

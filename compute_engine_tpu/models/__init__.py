@@ -1,0 +1,13 @@
+"""Model definitions and builders for the Larq-Zoo family."""
+
+from .builder import (  # noqa: F401
+    ConvertBuilder,
+    FloatBuilder,
+    InitBuilder,
+    PackedBuilder,
+    convert_model,
+    float_apply,
+    init_model,
+    packed_apply,
+)
+from .zoo import MODELS, ModelSpec, get_model  # noqa: F401

@@ -1,0 +1,352 @@
+"""Model builders: one architecture definition, four execution modes.
+
+The reference splits model handling between a Keras graph, an MLIR pass
+pipeline, and a TFLite flatbuffer (SURVEY.md §2.3). The TPU-native redesign
+replaces all of that with a single Python model definition executed by
+pluggable builders:
+
+  InitBuilder     creates a float parameter tree (Keras layouts)
+  FloatBuilder    QAT-style float forward (ste_sign fake-quant) — the
+                  semantic oracle, equivalent to running the Keras model
+  ConvertBuilder  walks the same definition and emits the packed inference
+                  artifact (BN folding, sign binarisation, bitpacking) —
+                  this *is* the converter; the pattern-matching MLIR passes
+                  are unnecessary because layer structure is explicit
+  PackedBuilder   packed inference forward using ops.bconv2d / bmaxpool2d
+
+Builders that only need shapes (Init, Convert) run under ``jax.eval_shape``,
+so no real math is executed at convert time except the host-side numpy
+weight transformation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.bitpack import bitpack_np
+from ..core.params import BConv2DParams
+from ..core.transforms import OutputTransform, fuse_output_transform
+from ..core.types import Activation, Padding
+from ..ops import bconv2d, quantize
+from . import layers as L
+
+__all__ = ["InitBuilder", "FloatBuilder", "ConvertBuilder", "PackedBuilder",
+           "init_model", "float_apply", "convert_model", "packed_apply"]
+
+
+class _Base:
+    """Shared pooling/arithmetic ops (identical in every mode)."""
+
+    def max_pool(self, x, pool_size, stride=None, padding="SAME"):
+        pool_size = _pair(pool_size)
+        stride = _pair(stride) if stride is not None else pool_size
+        return L.max_pool(x, pool_size, stride, padding)
+
+    def avg_pool(self, x, pool_size, stride=None, padding="VALID"):
+        pool_size = _pair(pool_size)
+        stride = _pair(stride) if stride is not None else pool_size
+        return L.avg_pool(x, pool_size, stride, padding)
+
+    def global_avg_pool(self, x):
+        return L.global_avg_pool(x)
+
+    def add(self, a, b):
+        return a + b
+
+    def concat(self, xs):
+        return jnp.concatenate(xs, axis=-1)
+
+    def activation(self, x, kind):
+        return L.apply_activation(x, kind)
+
+    def softmax(self, x):
+        return jax.nn.softmax(x.astype(jnp.float32), axis=-1)
+
+
+def _pair(v):
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+class InitBuilder(_Base):
+    """Creates the float parameter tree while tracing the forward."""
+
+    def __init__(self, seed=0, randomize_bn=False):
+        self.rng = np.random.default_rng(seed)
+        self.params = {}
+        self.randomize_bn = randomize_bn
+
+    def _bn(self, c):
+        return L.init_bn(self.rng, c, randomize=self.randomize_bn)
+
+    def conv_bn(self, x, filters, ksize, *, stride=1, padding="SAME",
+                activation=None, name):
+        kh, kw = _pair(ksize)
+        c = x.shape[-1]
+        kernel = L.he_normal(self.rng, (kh, kw, c, filters), kh * kw * c)
+        self.params[name] = {"kernel": kernel, "bn": self._bn(filters)}
+        return L.batch_norm(
+            L.conv2d(x, jnp.asarray(kernel), _pair(stride), padding),
+            {k: jnp.asarray(v) for k, v in self.params[name]["bn"].items()})
+
+    def depthwise_conv_bn(self, x, ksize, *, stride=1, activation=None,
+                          name):
+        kh, kw = _pair(ksize)
+        c = x.shape[-1]
+        kernel = L.he_normal(self.rng, (kh, kw, c, 1), kh * kw)
+        self.params[name] = {"kernel": kernel, "bn": self._bn(c)}
+        return L.batch_norm(
+            L.depthwise_conv2d(x, jnp.asarray(kernel), _pair(stride)),
+            {k: jnp.asarray(v) for k, v in self.params[name]["bn"].items()})
+
+    def binary_conv_bn(self, x, filters, ksize, *, stride=1, padding="SAME",
+                       pad_value=1, name):
+        kh, kw = _pair(ksize)
+        c = x.shape[-1]
+        # Latent real-valued weights (binarised by ste_sign at use).
+        kernel = self.rng.uniform(-1, 1,
+                                  (kh, kw, c, filters)).astype(np.float32)
+        self.params[name] = {"kernel": kernel, "bn": self._bn(filters)}
+        return L.batch_norm(
+            _float_binary_conv(x, jnp.asarray(kernel), _pair(stride), padding,
+                               pad_value),
+            {k: jnp.asarray(v) for k, v in self.params[name]["bn"].items()})
+
+    def dense(self, x, units, *, use_bias=True, activation=None, name):
+        c = x.shape[-1]
+        kernel = L.glorot_uniform(self.rng, (c, units), c, units)
+        p = {"kernel": kernel}
+        if use_bias:
+            p["bias"] = np.zeros(units, np.float32)
+        self.params[name] = p
+        y = L.dense(x, jnp.asarray(kernel),
+                    jnp.asarray(p["bias"]) if use_bias else None)
+        return L.apply_activation(y, activation)
+
+
+def _float_binary_conv(x, kernel, stride, padding, pad_value):
+    """QAT forward: sign(x) conv sign(w), with one- or zero-padding.
+
+    One-padding pads +1 *after* quantisation (the PadV2(+1) pattern the
+    converter recognises, `prepare_patterns_common.td:136-168`); zero-padding
+    pads the literal 0.0 like a plain SAME conv on the quantised input.
+    """
+    xq = L.ste_sign(x)
+    wq = L.ste_sign(kernel)
+    if padding == "SAME" and pad_value == 1:
+        kh, kw = kernel.shape[0], kernel.shape[1]
+        ph = max(kh - 1, 0)
+        pw = max(kw - 1, 0)
+        # TF SAME split: before = total // 2 for stride-agnostic shapes we
+        # compute via the params helper to stay exact.
+        from ..core.params import tflite_same_padding
+        _, pt, pb = tflite_same_padding(x.shape[1], kh, stride[0], 1)
+        _, pl_, pr = tflite_same_padding(x.shape[2], kw, stride[1], 1)
+        xq = jnp.pad(xq, ((0, 0), (pt, pb), (pl_, pr), (0, 0)),
+                     constant_values=1.0)
+        return L.conv2d(xq, wq, stride, "VALID")
+    return L.conv2d(xq, wq, stride, padding)
+
+
+class FloatBuilder(_Base):
+    """QAT-style float forward from a parameter tree (the accuracy oracle)."""
+
+    def __init__(self, params):
+        self.params = params
+
+    def _bn(self, name):
+        return {k: jnp.asarray(v) for k, v in self.params[name]["bn"].items()}
+
+    def conv_bn(self, x, filters, ksize, *, stride=1, padding="SAME",
+                activation=None, name):
+        y = L.conv2d(x, jnp.asarray(self.params[name]["kernel"]),
+                     _pair(stride), padding)
+        return L.apply_activation(L.batch_norm(y, self._bn(name)), activation)
+
+    def depthwise_conv_bn(self, x, ksize, *, stride=1, activation=None,
+                          name):
+        y = L.depthwise_conv2d(x, jnp.asarray(self.params[name]["kernel"]),
+                               _pair(stride))
+        return L.apply_activation(L.batch_norm(y, self._bn(name)), activation)
+
+    def binary_conv_bn(self, x, filters, ksize, *, stride=1, padding="SAME",
+                       pad_value=1, name):
+        y = _float_binary_conv(x, jnp.asarray(self.params[name]["kernel"]),
+                               _pair(stride), padding, pad_value)
+        return L.batch_norm(y, self._bn(name))
+
+    def dense(self, x, units, *, use_bias=True, activation=None, name):
+        p = self.params[name]
+        y = L.dense(x, jnp.asarray(p["kernel"]),
+                    jnp.asarray(p["bias"]) if use_bias else None)
+        return L.apply_activation(y, activation)
+
+
+class ConvertBuilder(_Base):
+    """Emits the packed inference artifact while tracing the forward.
+
+    Weight transformation per layer kind:
+      float conv  BN folded into the kernel (+bias) — standard fusion.
+      binary conv latent weights -> sign -> OHWI bitpack
+                  (`mlir/transforms/bitpack_weights.cc:13-49`); BN -> per-
+                  channel post_mul/post_bias -> fused transform
+                  (`tflite/kernels/bconv2d.cc:353-389`).
+    """
+
+    def __init__(self, params):
+        self.params = params
+        self.layers = {}
+
+    def conv_bn(self, x, filters, ksize, *, stride=1, padding="SAME",
+                activation=None, name):
+        p = self.params[name]
+        mul, bias = L.fold_batch_norm(p["bn"])
+        kernel = np.asarray(p["kernel"], np.float32) * mul
+        self.layers[name] = {
+            "kind": "conv", "kernel": kernel.astype(np.float32),
+            "bias": bias, "stride": _pair(stride), "padding": padding,
+            "activation": activation,
+        }
+        return L.batch_norm(
+            L.conv2d(x, jnp.asarray(p["kernel"]), _pair(stride), padding),
+            {k: jnp.asarray(v) for k, v in p["bn"].items()})
+
+    def depthwise_conv_bn(self, x, ksize, *, stride=1, activation=None,
+                          name):
+        p = self.params[name]
+        mul, bias = L.fold_batch_norm(p["bn"])
+        kernel = np.asarray(p["kernel"], np.float32) * mul.reshape(1, 1, -1, 1)
+        self.layers[name] = {
+            "kind": "depthwise_conv", "kernel": kernel.astype(np.float32),
+            "bias": bias, "stride": _pair(stride), "activation": activation,
+        }
+        return L.batch_norm(
+            L.depthwise_conv2d(x, jnp.asarray(p["kernel"]), _pair(stride)),
+            {k: jnp.asarray(v) for k, v in p["bn"].items()})
+
+    def binary_conv_bn(self, x, filters, ksize, *, stride=1, padding="SAME",
+                       pad_value=1, name):
+        p = self.params[name]
+        channels_in = int(x.shape[-1])
+        post_mul, post_bias = L.fold_batch_norm(p["bn"])
+        kh, kw = _pair(ksize)
+        k = kh * kw * channels_in
+        transform = fuse_output_transform(post_mul, post_bias, k)
+        # Binarise + OHWI-transpose + pack (compile-time, like
+        # BitpackWeightsLCE const-folding).
+        w = np.asarray(p["kernel"], np.float32)  # (H, W, I, O)
+        w_ohwi = np.transpose(w, (3, 0, 1, 2))
+        packed = bitpack_np(w_ohwi)
+        self.layers[name] = {
+            "kind": "bconv",
+            "packed_filter": packed,
+            "multiplier": transform.multiplier,
+            "bias": transform.bias,
+            "clamp_min": transform.clamp_min,
+            "clamp_max": transform.clamp_max,
+            "channels_in": channels_in,
+            "stride": _pair(stride),
+            "padding": padding,
+            "pad_value": pad_value,
+        }
+        return L.batch_norm(
+            _float_binary_conv(x, jnp.asarray(p["kernel"]), _pair(stride),
+                               padding, pad_value),
+            {k2: jnp.asarray(v) for k2, v in p["bn"].items()})
+
+    def dense(self, x, units, *, use_bias=True, activation=None, name):
+        p = self.params[name]
+        self.layers[name] = {
+            "kind": "dense",
+            "kernel": np.asarray(p["kernel"], np.float32),
+            "bias": np.asarray(p["bias"], np.float32) if use_bias else None,
+            "activation": activation,
+        }
+        y = L.dense(x, jnp.asarray(p["kernel"]),
+                    jnp.asarray(p["bias"]) if use_bias else None)
+        return L.apply_activation(y, activation)
+
+
+class PackedBuilder(_Base):
+    """Packed inference forward over a converted artifact."""
+
+    def __init__(self, artifact_layers, kernel="auto",
+                 compute_dtype=jnp.bfloat16):
+        self.layers = artifact_layers
+        self.kernel = kernel
+        self.compute_dtype = compute_dtype
+
+    def conv_bn(self, x, filters, ksize, *, stride=1, padding="SAME",
+                activation=None, name):
+        a = self.layers[name]
+        y = L.conv2d(x.astype(self.compute_dtype), jnp.asarray(a["kernel"]),
+                     _pair(stride), padding)
+        y = y.astype(jnp.float32) + jnp.asarray(a["bias"])
+        return L.apply_activation(y, activation)
+
+    def depthwise_conv_bn(self, x, ksize, *, stride=1, activation=None,
+                          name):
+        a = self.layers[name]
+        y = L.depthwise_conv2d(x.astype(self.compute_dtype),
+                               jnp.asarray(a["kernel"]), _pair(stride))
+        y = y.astype(jnp.float32) + jnp.asarray(a["bias"])
+        return L.apply_activation(y, activation)
+
+    def binary_conv_bn(self, x, filters, ksize, *, stride=1, padding="SAME",
+                       pad_value=1, name):
+        a = self.layers[name]
+        params = BConv2DParams(
+            channels_in=int(a["channels_in"]),
+            stride=_pair(stride),
+            padding=Padding.SAME if padding == "SAME" else Padding.VALID,
+            pad_value=int(a["pad_value"]),
+            activation=Activation.NONE,
+        )
+        transform = OutputTransform(
+            clamp_min=int(a["clamp_min"]), clamp_max=int(a["clamp_max"]),
+            multiplier=a["multiplier"], bias=a["bias"])
+        xq = quantize(x)  # runtime LceQuantize boundary
+        return bconv2d(xq, jnp.asarray(a["packed_filter"]), transform, params,
+                       output_kind="float", kernel=self.kernel)
+
+    def dense(self, x, units, *, use_bias=True, activation=None, name):
+        a = self.layers[name]
+        y = L.dense(x.astype(self.compute_dtype), jnp.asarray(a["kernel"]),
+                    jnp.asarray(a["bias"]) if a["bias"] is not None else None)
+        return L.apply_activation(y, activation)
+
+
+# ---------------------------------------------------------------------------
+# Convenience drivers
+# ---------------------------------------------------------------------------
+
+
+def init_model(spec, seed=0, randomize_bn=False):
+    """Create a float parameter tree for a ModelSpec."""
+    b = InitBuilder(seed=seed, randomize_bn=randomize_bn)
+    x = jax.ShapeDtypeStruct((1, *spec.input_size, 3), jnp.float32)
+    jax.eval_shape(lambda t: spec.forward(b, t), x)
+    return b.params
+
+
+def float_apply(spec, params, x):
+    """QAT float forward (the oracle)."""
+    return spec.forward(FloatBuilder(params), x)
+
+
+def convert_model(spec, params):
+    """Float params -> packed artifact layer dict (the converter)."""
+    b = ConvertBuilder(params)
+    x = jax.ShapeDtypeStruct((1, *spec.input_size, 3), jnp.float32)
+    jax.eval_shape(lambda t: spec.forward(b, t), x)
+    return b.layers
+
+
+def packed_apply(spec, artifact_layers, x, kernel="auto",
+                 compute_dtype=jnp.bfloat16):
+    """Packed inference forward."""
+    return spec.forward(
+        PackedBuilder(artifact_layers, kernel=kernel,
+                      compute_dtype=compute_dtype), x)

@@ -1,0 +1,63 @@
+"""Sharding specs for packed-model artifacts.
+
+TP layout: binary filters are packed as (O, FH, FW, Cpg) uint32, so sharding
+axis 0 over the "model" mesh axis splits *output channels* across chips —
+each chip computes a channel slice of every binary conv from the (replicated,
+32x-compressed) activations, and GSPMD re-gathers channels where the residual
+add / concat / float layers need them. DP shards the batch over "data".
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+__all__ = ["artifact_shardings", "shard_artifact", "input_sharding"]
+
+
+def _layer_specs(layer):
+    kind = layer["kind"]
+    if kind == "bconv":
+        return {
+            "packed_filter": P("model", None, None, None),
+            "multiplier": P("model"),
+            "bias": P("model"),
+        }
+    if kind == "conv":
+        return {"kernel": P(None, None, None, "model"), "bias": P("model")}
+    if kind == "depthwise_conv":
+        return {"kernel": P(None, None, "model", None), "bias": P("model")}
+    if kind == "dense":
+        return {"kernel": P(None, "model"), "bias": P("model")}
+    return {}
+
+
+def artifact_shardings(layers, mesh):
+    """Per-array NamedSharding tree matching the artifact layer dict."""
+    out = {}
+    for lname, layer in layers.items():
+        specs = _layer_specs(layer)
+        out[lname] = {
+            k: NamedSharding(mesh, specs.get(k, P()))
+            for k, v in layer.items() if isinstance(v, (np.ndarray, jax.Array))
+        }
+    return out
+
+
+def shard_artifact(layers, mesh):
+    """device_put every artifact array with its TP sharding."""
+    shardings = artifact_shardings(layers, mesh)
+    out = {}
+    for lname, layer in layers.items():
+        new = dict(layer)
+        for k, sh in shardings[lname].items():
+            new[k] = jax.device_put(layer[k], sh)
+        out[lname] = new
+    return out
+
+
+def input_sharding(mesh):
+    """Batch (DP) sharding for NHWC image inputs."""
+    return NamedSharding(mesh, P("data", None, None, None))

@@ -1,0 +1,117 @@
+"""Benchmark CLI — counterpart of ``lce_benchmark_model``
+(`tflite/benchmark/lce_benchmark_main.cc:27-49`).
+
+Measures steady-state latency / throughput of packed inference on the current
+JAX default device, with kernel-selection flags mirroring the reference tool's
+``--use_reference_bconv`` / ``--use_indirect_bgemm``.
+
+Usage:
+  python -m compute_engine_tpu.runtime.benchmark --model quicknet \
+      --batch 8 --iters 20 [--kernel mxu] [--artifact path.npz] [--json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..converter import load_artifact
+from ..models import convert_model, get_model, init_model, packed_apply
+
+
+def _iterated_forward(spec, layers, kernel, compute_dtype, iters):
+    """Run the model ``iters`` times inside one program.
+
+    Host<->device round-trips here go through a high-latency tunnel, so
+    per-dispatch wall-clock timing measures RTT, not the chip. Chaining
+    iterations in a ``fori_loop`` with a data dependency (the carry perturbs
+    the input, preventing loop-invariant hoisting) and dividing total device
+    time by ``iters`` isolates steady-state on-device latency.
+    """
+
+    def step(x, carry):
+        x = x.at[0, 0, 0, 0].add(carry * 1e-12)
+        out = packed_apply(spec, layers, x, kernel=kernel,
+                           compute_dtype=compute_dtype)
+        return jnp.mean(out)
+
+    def run(x):
+        return jax.lax.fori_loop(
+            0, iters, lambda i, c: step(x, c), jnp.float32(0.0))
+
+    return jax.jit(run)
+
+
+def benchmark_model(model="quicknet", batch=8, iters=20, warmup=1,
+                    kernel="auto", artifact_path=None, seed=0,
+                    compute_dtype=jnp.bfloat16, input_size=None,
+                    repeats=5):
+    spec = get_model(model) if isinstance(model, str) else model
+    if artifact_path:
+        _, _, layers = load_artifact(artifact_path)
+    else:
+        layers = convert_model(spec, init_model(spec, seed=seed,
+                                                randomize_bn=True))
+    size = input_size or spec.input_size
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(0, 1, (batch, *size, 3)).astype(np.float32))
+
+    run = _iterated_forward(spec, layers, kernel, compute_dtype, iters)
+    t0 = time.perf_counter()
+    np.asarray(run(x))  # compile + first run; fetch forces completion
+    compile_time = time.perf_counter() - t0
+    for _ in range(max(warmup - 1, 0)):
+        np.asarray(run(x))
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        np.asarray(run(x))
+        times.append((time.perf_counter() - t0) / iters)
+    times = np.asarray(times)
+    p50 = float(np.percentile(times, 50))
+    return {
+        "model": spec.name,
+        "batch": batch,
+        "kernel": kernel,
+        "device": str(jax.devices()[0]),
+        "compile_s": round(compile_time, 3),
+        "latency_ms_p50": round(p50 * 1e3, 4),
+        "latency_ms_mean": round(float(times.mean()) * 1e3, 4),
+        "latency_ms_min": round(float(times.min()) * 1e3, 4),
+        "images_per_sec": round(batch / p50, 2),
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="quicknet")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--kernel", default="auto",
+                   choices=["auto", "reference", "bgemm", "mxu"])
+    p.add_argument("--artifact", default=None)
+    p.add_argument("--f32", action="store_true",
+                   help="float32 compute for non-binary layers")
+    p.add_argument("--json", action="store_true")
+    args = p.parse_args(argv)
+    result = benchmark_model(
+        model=args.model, batch=args.batch, iters=args.iters,
+        warmup=args.warmup, kernel=args.kernel, artifact_path=args.artifact,
+        compute_dtype=jnp.float32 if args.f32 else jnp.bfloat16)
+    if args.json:
+        print(json.dumps(result))
+    else:
+        for k, v in result.items():
+            print(f"{k:18s} {v}")
+
+
+if __name__ == "__main__":
+    main()

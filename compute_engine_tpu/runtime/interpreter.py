@@ -1,0 +1,96 @@
+"""``Interpreter`` — the user-facing inference API.
+
+Counterpart of the reference's Python interpreter
+(`tflite/python/interpreter.py:40-58`, `interpreter_base.py:30-95`), with the
+TFLite graph executor replaced by a jitted XLA program. Where the reference
+iterates batch-of-1 samples through a single-threaded interpreter
+(`interpreter_base.py:74-95`), we jit once per batch shape and let XLA
+schedule the whole graph on the chip.
+
+Kernel selection flags mirror `Interpreter(..., use_reference_bconv,
+use_indirect_bgemm)`: here ``kernel`` picks reference / bgemm / mxu.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models import get_model, packed_apply
+from ..models.zoo import ModelSpec
+from ..converter import load_artifact
+
+__all__ = ["Interpreter"]
+
+
+class Interpreter:
+    """Runs packed inference for a converted model artifact.
+
+    Args:
+      model: ModelSpec or zoo model name.
+      layers: converted artifact layer dict (from ``converter.convert`` or
+        ``load_artifact``); if ``artifact_path`` is given it is loaded.
+      kernel: bconv kernel selection ("auto" | "reference" | "bgemm" | "mxu").
+      compute_dtype: dtype for the float (non-binary) layers.
+    """
+
+    def __init__(self, model=None, layers=None, artifact_path=None,
+                 kernel="auto", compute_dtype=jnp.bfloat16):
+        if artifact_path is not None:
+            name, _, layers = load_artifact(artifact_path)
+            model = model if model is not None else name
+        if isinstance(model, str):
+            model = get_model(model)
+        if not isinstance(model, ModelSpec) or layers is None:
+            raise ValueError("Interpreter needs a model spec and layers "
+                             "(or artifact_path)")
+        self.spec = model
+        self.layers = layers
+        self.kernel = kernel
+        self.compute_dtype = compute_dtype
+        self._jitted = jax.jit(
+            functools.partial(packed_apply, self.spec, self.layers,
+                              kernel=self.kernel,
+                              compute_dtype=self.compute_dtype))
+
+    @property
+    def input_shape(self):
+        return (None, *self.spec.input_size, 3)
+
+    @property
+    def output_shape(self):
+        return (None, self.spec.num_classes)
+
+    def __call__(self, x):
+        return self._jitted(jnp.asarray(x, jnp.float32))
+
+    def predict(self, x, batch_size: int | None = None):
+        """Predict class probabilities; mirrors ``Interpreter.predict``.
+
+        Accepts a single image (H, W, 3) or a batch (N, H, W, 3); optional
+        ``batch_size`` splits large inputs into fixed-size chunks so only one
+        program shape is compiled.
+        """
+        x = np.asarray(x, np.float32)
+        single = x.ndim == 3
+        if single:
+            x = x[None]
+        if batch_size is None or x.shape[0] <= batch_size:
+            out = np.asarray(self(x))
+        else:
+            chunks = []
+            for i in range(0, x.shape[0], batch_size):
+                chunk = x[i:i + batch_size]
+                if chunk.shape[0] < batch_size:  # pad to the compiled shape
+                    pad = batch_size - chunk.shape[0]
+                    padded = np.concatenate(
+                        [chunk, np.zeros((pad, *x.shape[1:]), np.float32)])
+                    chunks.append(np.asarray(self(padded))[:chunk.shape[0]])
+                else:
+                    chunks.append(np.asarray(self(chunk)))
+            out = np.concatenate(chunks)
+        return out[0] if single else out

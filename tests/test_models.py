@@ -1,0 +1,109 @@
+"""End-to-end model tests: packed inference vs the QAT float oracle.
+
+Mirrors `tests/end2end_test.py` in the reference: build models exercising
+one-padding, zero-padding, residuals, concat and binary convs; convert; and
+assert packed predictions match the float model (`end2end_test.py:210-217`
+uses rtol/atol 1e-3 after brief training — we use randomised BN stats).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from compute_engine_tpu.models import (
+    convert_model,
+    float_apply,
+    get_model,
+    init_model,
+    packed_apply,
+)
+from compute_engine_tpu.models.zoo import ModelSpec, _quicknet_forward
+from compute_engine_tpu.converter import load_artifact, save_artifact
+
+
+def tiny_quicknet(b, x):
+    return _quicknet_forward(b, x, section_filters=(32, 64),
+                             section_blocks=(1, 1), num_classes=10)
+
+
+TINY = ModelSpec("tiny_quicknet", tiny_quicknet, input_size=(32, 32),
+                 num_classes=10)
+
+
+def _check_packed_matches_float(spec, x, atol=1e-2):
+    params = init_model(spec, seed=1, randomize_bn=True)
+    want = np.asarray(float_apply(spec, params, jnp.asarray(x)))
+    layers = convert_model(spec, params)
+    for kernel in ("mxu", "bgemm"):
+        got = np.asarray(packed_apply(spec, layers, jnp.asarray(x),
+                                      kernel=kernel,
+                                      compute_dtype=jnp.float32))
+        np.testing.assert_allclose(got, want, atol=atol, rtol=1e-2,
+                                   err_msg=f"kernel={kernel}")
+    return layers
+
+
+def test_tiny_quicknet_end2end(rng):
+    x = rng.normal(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    _check_packed_matches_float(TINY, x)
+
+
+def test_birealnet_small_input(rng):
+    """Zero-padding (correction path) + strided binary convs + shortcuts."""
+    from compute_engine_tpu.models.zoo import birealnet18
+
+    def small_bireal(b, x):
+        return birealnet18(b, x, num_classes=10)
+
+    spec = ModelSpec("small_bireal", small_bireal, input_size=(64, 64),
+                     num_classes=10)
+    x = rng.normal(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    _check_packed_matches_float(spec, x)
+
+
+def test_densenet_tiny(rng):
+    from compute_engine_tpu.models.zoo import _binary_densenet_forward
+
+    def tiny_densenet(b, x):
+        return _binary_densenet_forward(
+            b, x, layers_per_block=(2, 2), reductions=(2.0,),
+            growth_rate=32, initial_filters=32, num_classes=10)
+
+    spec = ModelSpec("tiny_densenet", tiny_densenet, input_size=(32, 32),
+                     num_classes=10)
+    x = rng.normal(0, 1, (1, 32, 32, 3)).astype(np.float32)
+    _check_packed_matches_float(spec, x)
+
+
+def test_artifact_roundtrip(tmp_path, rng):
+    params = init_model(TINY, seed=2, randomize_bn=True)
+    layers = convert_model(TINY, params)
+    path = str(tmp_path / "tiny.npz")
+    save_artifact(path, layers, TINY.name, {"input_size": [32, 32]})
+    name, config, loaded = load_artifact(path)
+    assert name == TINY.name
+    assert config["input_size"] == [32, 32]
+    x = rng.normal(0, 1, (1, 32, 32, 3)).astype(np.float32)
+    a = np.asarray(packed_apply(TINY, layers, jnp.asarray(x),
+                                compute_dtype=jnp.float32))
+    b = np.asarray(packed_apply(TINY, loaded, jnp.asarray(x),
+                                compute_dtype=jnp.float32))
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("name", ["quicknet_small", "quicknet",
+                                  "quicknet_large", "birealnet18",
+                                  "binary_densenet28", "binary_densenet37",
+                                  "binary_densenet45"])
+def test_full_models_build(name):
+    """Every zoo model initialises and converts (shape-level, no math)."""
+    spec = get_model(name)
+    params = init_model(spec, seed=0)
+    layers = convert_model(spec, params)
+    n_bconv = sum(1 for l in layers.values() if l["kind"] == "bconv")
+    assert n_bconv > 0
+    # Binary weight footprint stays packed (uint32).
+    for l in layers.values():
+        if l["kind"] == "bconv":
+            assert l["packed_filter"].dtype == np.uint32
