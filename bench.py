@@ -19,7 +19,7 @@ import sys
 def main():
     from compute_engine_tpu.runtime.benchmark import benchmark_model
 
-    result = benchmark_model(model="quicknet", batch=32, iters=20,
+    result = benchmark_model(model="quicknet", batch=128, iters=10,
                              warmup=1, repeats=3, kernel="auto")
     print(json.dumps({
         "metric": "quicknet_images_per_sec_per_chip",

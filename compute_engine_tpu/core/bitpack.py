@@ -91,10 +91,19 @@ def bitpack(x, zero_point: int = 0):
 
 
 def bitpack_np(x, zero_point: int = 0) -> np.ndarray:
-    """Host-side (pure numpy) bitpack with identical semantics to
-    :func:`bitpack`. Used by the converter, which runs under ``jax.eval_shape``
-    where jnp ops would be staged out rather than executed."""
+    """Host-side bitpack with identical semantics to :func:`bitpack`.
+
+    Used by the converter (which runs under ``jax.eval_shape`` where jnp ops
+    would be staged out rather than executed) and host input pipelines.
+    Dispatches to the native C++ library (csrc/bitpack.cc) when available,
+    with a pure-numpy fallback."""
     x = np.asarray(x)
+    if x.dtype in (np.float32, np.int8):
+        from ..utils.native import native_bitpack
+
+        out = native_bitpack(x, zero_point)
+        if out is not None:
+            return out
     channels = x.shape[-1]
     n_words = packed_size(channels)
     if x.dtype == np.bool_:

@@ -270,13 +270,24 @@ class ConvertBuilder(_Base):
 
 
 class PackedBuilder(_Base):
-    """Packed inference forward over a converted artifact."""
+    """Packed inference forward over a converted artifact.
+
+    ``return_logits`` turns the final softmax into identity — the analogue of
+    the reference's output-surgery utilities (`mlir/python/util.py:176-365`)
+    that re-expose raw model outputs.
+    """
 
     def __init__(self, artifact_layers, kernel="auto",
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16, return_logits=False):
         self.layers = artifact_layers
         self.kernel = kernel
         self.compute_dtype = compute_dtype
+        self.return_logits = return_logits
+
+    def softmax(self, x):
+        if self.return_logits:
+            return x.astype(jnp.float32)
+        return super().softmax(x)
 
     def conv_bn(self, x, filters, ksize, *, stride=1, padding="SAME",
                 activation=None, name):
@@ -345,8 +356,9 @@ def convert_model(spec, params):
 
 
 def packed_apply(spec, artifact_layers, x, kernel="auto",
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16, return_logits=False):
     """Packed inference forward."""
     return spec.forward(
         PackedBuilder(artifact_layers, kernel=kernel,
-                      compute_dtype=compute_dtype), x)
+                      compute_dtype=compute_dtype,
+                      return_logits=return_logits), x)

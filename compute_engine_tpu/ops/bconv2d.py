@@ -68,13 +68,18 @@ def bconv2d(packed_input, packed_filter, transform: OutputTransform,
         # (systolic-array FLOPs >> VPU popcount throughput); the bgemm path
         # is kept selectable for memory-bound regimes and cross-checking.
         kernel = "mxu"
-    if kernel == "reference":
-        return bconv2d_reference(packed_input, packed_filter, transform,
+    # Profiler labels, like ruy ScopeLabel "BConv2D (optimized/reference)"
+    # (`core/bconv2d/optimized_bgemm.h:77`).
+    import jax
+
+    with jax.named_scope(f"bconv2d_{kernel}"):
+        if kernel == "reference":
+            return bconv2d_reference(packed_input, packed_filter, transform,
+                                     params, output_kind)
+        if kernel == "bgemm":
+            return bconv2d_bgemm(packed_input, packed_filter, transform,
                                  params, output_kind)
-    if kernel == "bgemm":
-        return bconv2d_bgemm(packed_input, packed_filter, transform, params,
-                             output_kind)
-    if kernel == "mxu":
-        return bconv2d_mxu(packed_input, packed_filter, transform, params,
-                           output_kind, unpacked_filter=unpacked_filter)
+        if kernel == "mxu":
+            return bconv2d_mxu(packed_input, packed_filter, transform, params,
+                               output_kind, unpacked_filter=unpacked_filter)
     raise ValueError(f"unknown kernel {kernel!r}; expected one of {KERNELS}")

@@ -62,18 +62,26 @@ def benchmark_model(model="quicknet", batch=8, iters=20, warmup=1,
     rng = np.random.default_rng(seed)
     x = jnp.asarray(rng.normal(0, 1, (batch, *size, 3)).astype(np.float32))
 
-    run = _iterated_forward(spec, layers, kernel, compute_dtype, iters)
+    # Differencing (see microbench.time_fn): T(2k) - T(k) cancels the fixed
+    # per-dispatch tunnel/launch overhead.
+    run_k = _iterated_forward(spec, layers, kernel, compute_dtype, iters)
+    run_2k = _iterated_forward(spec, layers, kernel, compute_dtype,
+                               2 * iters)
     t0 = time.perf_counter()
-    np.asarray(run(x))  # compile + first run; fetch forces completion
+    np.asarray(run_k(x))  # compile + first run; fetch forces completion
     compile_time = time.perf_counter() - t0
+    np.asarray(run_2k(x))
     for _ in range(max(warmup - 1, 0)):
-        np.asarray(run(x))
+        np.asarray(run_k(x))
 
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        np.asarray(run(x))
-        times.append((time.perf_counter() - t0) / iters)
+        np.asarray(run_k(x))
+        t1 = time.perf_counter()
+        np.asarray(run_2k(x))
+        t2 = time.perf_counter()
+        times.append(max(((t2 - t1) - (t1 - t0)) / iters, 1e-9))
     times = np.asarray(times)
     p50 = float(np.percentile(times, 50))
     return {

@@ -39,7 +39,14 @@ class Interpreter:
     """
 
     def __init__(self, model=None, layers=None, artifact_path=None,
-                 kernel="auto", compute_dtype=jnp.bfloat16):
+                 kernel="auto", compute_dtype=jnp.bfloat16,
+                 input_scale=None, input_zero_point=0,
+                 output_mode="probs", output_scale=None,
+                 output_zero_point=0):
+        """``input_scale``/``input_zero_point`` accept int8/uint8 image input
+        directly (the analogue of int8-I/O flatbuffer surgery,
+        `mlir/python/util.py:176-222`); ``output_mode`` in
+        {"probs", "logits", "int8"} controls the output boundary."""
         if artifact_path is not None:
             name, _, layers = load_artifact(artifact_path)
             model = model if model is not None else name
@@ -48,14 +55,35 @@ class Interpreter:
         if not isinstance(model, ModelSpec) or layers is None:
             raise ValueError("Interpreter needs a model spec and layers "
                              "(or artifact_path)")
+        if output_mode not in ("probs", "logits", "int8"):
+            raise ValueError(f"unknown output_mode {output_mode!r}")
+        if output_mode == "int8" and output_scale is None:
+            raise ValueError("output_mode='int8' requires output_scale")
         self.spec = model
         self.layers = layers
         self.kernel = kernel
         self.compute_dtype = compute_dtype
-        self._jitted = jax.jit(
-            functools.partial(packed_apply, self.spec, self.layers,
-                              kernel=self.kernel,
-                              compute_dtype=self.compute_dtype))
+        self.input_scale = input_scale
+        self.input_zero_point = input_zero_point
+        self.output_mode = output_mode
+        self.output_scale = output_scale
+        self.output_zero_point = output_zero_point
+
+        def forward(x):
+            if self.input_scale is not None:
+                x = (x.astype(jnp.float32)
+                     - float(self.input_zero_point)) * float(self.input_scale)
+            out = packed_apply(self.spec, self.layers, x, kernel=self.kernel,
+                               compute_dtype=self.compute_dtype,
+                               return_logits=self.output_mode == "logits")
+            if self.output_mode == "int8":
+                from ..core.types import round_half_away, saturate_int8
+                q = out / float(self.output_scale) + float(
+                    self.output_zero_point)
+                out = saturate_int8(round_half_away(q).astype(jnp.int32))
+            return out
+
+        self._jitted = jax.jit(forward)
 
     @property
     def input_shape(self):
@@ -66,7 +94,10 @@ class Interpreter:
         return (None, self.spec.num_classes)
 
     def __call__(self, x):
-        return self._jitted(jnp.asarray(x, jnp.float32))
+        x = jnp.asarray(x)
+        if self.input_scale is None and x.dtype != jnp.float32:
+            x = x.astype(jnp.float32)
+        return self._jitted(x)
 
     def predict(self, x, batch_size: int | None = None):
         """Predict class probabilities; mirrors ``Interpreter.predict``.
