@@ -1,10 +1,12 @@
 """Model definitions and builders for the Larq-Zoo family."""
 
 from .builder import (  # noqa: F401
+    CalibrateBuilder,
     ConvertBuilder,
     FloatBuilder,
     InitBuilder,
     PackedBuilder,
+    calibrate_model,
     convert_model,
     float_apply,
     init_model,

@@ -33,8 +33,9 @@ from ..core.types import Activation, Padding
 from ..ops import bconv2d, quantize
 from . import layers as L
 
-__all__ = ["InitBuilder", "FloatBuilder", "ConvertBuilder", "PackedBuilder",
-           "init_model", "float_apply", "convert_model", "packed_apply"]
+__all__ = ["InitBuilder", "FloatBuilder", "CalibrateBuilder",
+           "ConvertBuilder", "PackedBuilder", "init_model", "float_apply",
+           "calibrate_model", "convert_model", "packed_apply"]
 
 
 class _Base:
@@ -184,31 +185,77 @@ class FloatBuilder(_Base):
         return L.apply_activation(y, activation)
 
 
+class CalibrateBuilder(FloatBuilder):
+    """Float forward that records per-layer input abs-max ranges.
+
+    The activation-range calibration pass for int8 conversion — the analogue
+    of the reference's quantisation statistics (FakeQuant ranges consumed by
+    `LCEQuantizePass`, with `experimental_default_int8_range` as fallback,
+    `converter.py:94-101`). Run it over a few batches, then pass ``ranges``
+    to ``convert_model(..., int8_ranges=...)``.
+    """
+
+    def __init__(self, params, ranges=None):
+        super().__init__(params)
+        self.ranges = ranges if ranges is not None else {}
+
+    def conv_bn(self, x, filters, ksize, **kw):
+        self.ranges[kw["name"]] = max(
+            self.ranges.get(kw["name"], 0.0),
+            float(jnp.max(jnp.abs(x))))
+        return super().conv_bn(x, filters, ksize, **kw)
+
+    def dense(self, x, units, **kw):
+        self.ranges[kw["name"]] = max(
+            self.ranges.get(kw["name"], 0.0),
+            float(jnp.max(jnp.abs(x))))
+        return super().dense(x, units, **kw)
+
+
 class ConvertBuilder(_Base):
     """Emits the packed inference artifact while tracing the forward.
 
     Weight transformation per layer kind:
-      float conv  BN folded into the kernel (+bias) — standard fusion.
+      float conv  BN folded into the kernel (+bias) — standard fusion; with
+                  an int8 calibration range, additionally per-channel int8
+                  weight quantisation (int8 model support, the analogue of
+                  `mlir/transforms/quantize.cc` + LCEQuantizePass).
       binary conv latent weights -> sign -> OHWI bitpack
                   (`mlir/transforms/bitpack_weights.cc:13-49`); BN -> per-
                   channel post_mul/post_bias -> fused transform
                   (`tflite/kernels/bconv2d.cc:353-389`).
     """
 
-    def __init__(self, params):
+    def __init__(self, params, int8_ranges=None):
         self.params = params
         self.layers = {}
+        self.int8_ranges = int8_ranges or {}
+
+    def _maybe_int8(self, name, entry):
+        """Per-output-channel int8 weight quantisation + input scale."""
+        if name not in self.int8_ranges:
+            return entry
+        kernel = entry["kernel"]  # (..., O), BN already folded
+        w_scale = np.maximum(
+            np.max(np.abs(kernel), axis=tuple(range(kernel.ndim - 1))),
+            1e-9) / 127.0
+        entry["kernel_int8"] = np.clip(
+            np.round(kernel / w_scale), -127, 127).astype(np.int8)
+        entry["w_scale"] = w_scale.astype(np.float32)
+        entry["in_scale"] = float(self.int8_ranges[name]) / 127.0
+        del entry["kernel"]
+        return entry
 
     def conv_bn(self, x, filters, ksize, *, stride=1, padding="SAME",
                 activation=None, name):
         p = self.params[name]
         mul, bias = L.fold_batch_norm(p["bn"])
         kernel = np.asarray(p["kernel"], np.float32) * mul
-        self.layers[name] = {
+        self.layers[name] = self._maybe_int8(name, {
             "kind": "conv", "kernel": kernel.astype(np.float32),
             "bias": bias, "stride": _pair(stride), "padding": padding,
             "activation": activation,
-        }
+        })
         return L.batch_norm(
             L.conv2d(x, jnp.asarray(p["kernel"]), _pair(stride), padding),
             {k: jnp.asarray(v) for k, v in p["bn"].items()})
@@ -258,12 +305,12 @@ class ConvertBuilder(_Base):
 
     def dense(self, x, units, *, use_bias=True, activation=None, name):
         p = self.params[name]
-        self.layers[name] = {
+        self.layers[name] = self._maybe_int8(name, {
             "kind": "dense",
             "kernel": np.asarray(p["kernel"], np.float32),
             "bias": np.asarray(p["bias"], np.float32) if use_bias else None,
             "activation": activation,
-        }
+        })
         y = L.dense(x, jnp.asarray(p["kernel"]),
                     jnp.asarray(p["bias"]) if use_bias else None)
         return L.apply_activation(y, activation)
@@ -289,11 +336,33 @@ class PackedBuilder(_Base):
             return x.astype(jnp.float32)
         return super().softmax(x)
 
+    def _int8_conv(self, x, a, stride, padding):
+        """int8 x int8 -> int32 conv on the MXU, then rescale.
+
+        The int8 execution path for non-binary layers (reference int8
+        models run these as TFLite int8 kernels).
+        """
+        from ..core.types import round_half_away
+
+        x_q = jnp.clip(round_half_away(x.astype(jnp.float32)
+                                       / a["in_scale"]),
+                       -127, 127).astype(jnp.int8)
+        acc = jax.lax.conv_general_dilated(
+            x_q, jnp.asarray(a["kernel_int8"]),
+            window_strides=_pair(stride), padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        scale = jnp.asarray(a["w_scale"]) * a["in_scale"]
+        return acc.astype(jnp.float32) * scale
+
     def conv_bn(self, x, filters, ksize, *, stride=1, padding="SAME",
                 activation=None, name):
         a = self.layers[name]
-        y = L.conv2d(x.astype(self.compute_dtype), jnp.asarray(a["kernel"]),
-                     _pair(stride), padding)
+        if "kernel_int8" in a:
+            y = self._int8_conv(x, a, stride, padding)
+        else:
+            y = L.conv2d(x.astype(self.compute_dtype),
+                         jnp.asarray(a["kernel"]), _pair(stride), padding)
         y = y.astype(jnp.float32) + jnp.asarray(a["bias"])
         return L.apply_activation(y, activation)
 
@@ -323,9 +392,24 @@ class PackedBuilder(_Base):
                        output_kind="float", kernel=self.kernel)
 
     def dense(self, x, units, *, use_bias=True, activation=None, name):
+        from ..core.types import round_half_away
+
         a = self.layers[name]
-        y = L.dense(x.astype(self.compute_dtype), jnp.asarray(a["kernel"]),
-                    jnp.asarray(a["bias"]) if a["bias"] is not None else None)
+        if "kernel_int8" in a:
+            x_q = jnp.clip(round_half_away(x.astype(jnp.float32)
+                                           / a["in_scale"]),
+                           -127, 127).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                x_q, jnp.asarray(a["kernel_int8"]),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            y = acc.astype(jnp.float32) * (jnp.asarray(a["w_scale"])
+                                           * a["in_scale"])
+        else:
+            y = L.dense(x.astype(self.compute_dtype),
+                        jnp.asarray(a["kernel"]))
+        if a["bias"] is not None:
+            y = y + jnp.asarray(a["bias"])
         return L.apply_activation(y, activation)
 
 
@@ -347,12 +431,23 @@ def float_apply(spec, params, x):
     return spec.forward(FloatBuilder(params), x)
 
 
-def convert_model(spec, params):
-    """Float params -> packed artifact layer dict (the converter)."""
-    b = ConvertBuilder(params)
+def convert_model(spec, params, int8_ranges=None):
+    """Float params -> packed artifact layer dict (the converter).
+
+    ``int8_ranges`` (from :func:`calibrate_model`) additionally quantises the
+    listed non-binary layers to int8 weights + activation scales."""
+    b = ConvertBuilder(params, int8_ranges=int8_ranges)
     x = jax.ShapeDtypeStruct((1, *spec.input_size, 3), jnp.float32)
     jax.eval_shape(lambda t: spec.forward(b, t), x)
     return b.layers
+
+
+def calibrate_model(spec, params, batches):
+    """Record per-layer activation abs-max ranges over calibration batches."""
+    b = CalibrateBuilder(params)
+    for x in batches:
+        spec.forward(b, jnp.asarray(x, jnp.float32))
+    return b.ranges
 
 
 def packed_apply(spec, artifact_layers, x, kernel="auto",

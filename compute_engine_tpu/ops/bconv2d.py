@@ -64,9 +64,12 @@ def bconv2d(packed_input, packed_filter, transform: OutputTransform,
         raise ValueError(f"unknown output_kind {output_kind!r}")
 
     if kernel == "auto":
-        # MXU path wins for essentially every realistic conv shape on TPU
-        # (systolic-array FLOPs >> VPU popcount throughput); the bgemm path
-        # is kept selectable for memory-bound regimes and cross-checking.
+        # Runtime kernel selection (the analogue of
+        # `core/indirect_bgemm/select_kernel.h:30-142`). Measured on v5e:
+        # the Pallas fused-unpack bgemm wins per-op at small batch on deep
+        # layers (71% vs 47% MXU util at 512ch/batch-8), but XLA's conv path
+        # pipelines better at large batch, so it is the model-level default
+        # until the Pallas kernel gets grid-level K/N pipelining.
         kernel = "mxu"
     # Profiler labels, like ruy ScopeLabel "BConv2D (optimized/reference)"
     # (`core/bconv2d/optimized_bgemm.h:77`).

@@ -34,13 +34,29 @@ def _layer_specs(layer):
     return {}
 
 
+def _fit_spec(spec, shape, mesh):
+    """Drop sharding on dims not divisible by their mesh-axis size
+    (device_put rejects uneven shardings; replication is always valid)."""
+    if spec is None:
+        return P()
+    fitted = []
+    for i, axis in enumerate(spec):
+        if axis is None:
+            fitted.append(None)
+            continue
+        size = mesh.shape[axis]
+        fitted.append(axis if i < len(shape) and shape[i] % size == 0
+                      else None)
+    return P(*fitted)
+
+
 def artifact_shardings(layers, mesh):
     """Per-array NamedSharding tree matching the artifact layer dict."""
     out = {}
     for lname, layer in layers.items():
         specs = _layer_specs(layer)
         out[lname] = {
-            k: NamedSharding(mesh, specs.get(k, P()))
+            k: NamedSharding(mesh, _fit_spec(specs.get(k), np.shape(v), mesh))
             for k, v in layer.items() if isinstance(v, (np.ndarray, jax.Array))
         }
     return out
