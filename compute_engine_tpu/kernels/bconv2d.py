@@ -135,6 +135,31 @@ def bconv2d_mxu(packed_input, packed_filter, transform: OutputTransform,
     out_h, out_w, pad_top, pad_left = params.output_spatial(in_h, in_w, fh, fw)
     k = params.backtransform_add(fh, fw)
 
+    zero_pad = params.padding == Padding.SAME and params.pad_value == 0
+
+    # Padding strategy (perf-critical — an explicit jnp.pad of the unpacked
+    # bf16 activations with a non-zero constant costs ~25x a fused conv pad
+    # on TPU, measured on v5e):
+    #   one-padding: pad the PACKED words with 0-words (= +1 values) before
+    #     unpacking — 32x less data to pad, and the conv stays VALID.
+    #   zero-padding: the literal 0.0 pad is exactly the conv's native SAME
+    #     zero padding, which XLA fuses into the convolution.
+    conv_padding = "VALID"
+    if params.padding == Padding.SAME:
+        if zero_pad:
+            conv_padding = "SAME"  # TFLite SAME == TF SAME by construction
+        else:
+            eff_h = (fh - 1) * params.dilation[0] + 1
+            eff_w = (fw - 1) * params.dilation[1] + 1
+            pad_bottom = max(0, (out_h - 1) * params.stride[0] + eff_h
+                             - (in_h + pad_top))
+            pad_right = max(0, (out_w - 1) * params.stride[1] + eff_w
+                            - (in_w + pad_left))
+            packed_input = jnp.pad(
+                packed_input,
+                ((0, 0), (pad_top, pad_bottom), (pad_left, pad_right),
+                 (0, 0)))
+
     x = bitunpack(packed_input, c_in, dtype=jnp.bfloat16)
     if unpacked_filter is None:
         w = bitunpack(packed_filter, cg, dtype=jnp.bfloat16)
@@ -142,23 +167,10 @@ def bconv2d_mxu(packed_input, packed_filter, transform: OutputTransform,
     else:
         w = unpacked_filter
 
-    zero_pad = params.padding == Padding.SAME and params.pad_value == 0
-    # One-padding pads +1 values; zero-padding pads the literal value 0.
-    pad_const = 0.0 if zero_pad else 1.0
-    if params.padding == Padding.SAME:
-        eff_h = (fh - 1) * params.dilation[0] + 1
-        eff_w = (fw - 1) * params.dilation[1] + 1
-        pad_bottom = max(0, (out_h - 1) * params.stride[0] + eff_h
-                         - (in_h + pad_top))
-        pad_right = max(0, (out_w - 1) * params.stride[1] + eff_w
-                        - (in_w + pad_left))
-        x = jnp.pad(x, ((0, 0), (pad_top, pad_bottom), (pad_left, pad_right),
-                        (0, 0)), constant_values=pad_const)
-
     true_out = jax.lax.conv_general_dilated(
         x, w,
         window_strides=params.stride,
-        padding="VALID",
+        padding=conv_padding,
         rhs_dilation=params.dilation,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
