@@ -75,17 +75,25 @@ def bconv2d_bgemm(packed_input, packed_filter, transform: OutputTransform,
     m = n * out_h * out_w
 
     zero_pad = params.padding == Padding.SAME and params.pad_value == 0
-    needs_accum = output_kind != "float" or zero_pad or groups > 1
+    # The fused epilogues cover all output kinds; only zero-padding (which
+    # needs a position-dependent accumulator correction) and grouped convs
+    # fall back to raw accumulators + XLA-side transform.
+    needs_accum = zero_pad or groups > 1
 
     if groups == 1:
         lhs = patches.reshape(m, fh * fw * cp)
         rhs = packed_filter.reshape(c_out, fh * fw * cpg).T
         if needs_accum:
             accum = bgemm(lhs, rhs, out_kind="accum")
+        elif output_kind == "bitpacked":
+            out = bgemm(lhs, rhs, thresholds=jnp.asarray(transform.thresholds),
+                        out_kind="bitpacked")
+            return out.reshape(n, out_h, out_w, out.shape[-1])
         else:
-            out = bgemm(lhs, rhs, transform.multiplier, transform.bias,
+            out = bgemm(lhs, rhs, jnp.asarray(transform.multiplier),
+                        jnp.asarray(transform.bias),
                         clamp_min=transform.clamp_min,
-                        clamp_max=transform.clamp_max, out_kind="float")
+                        clamp_max=transform.clamp_max, out_kind=output_kind)
             return out.reshape(n, out_h, out_w, c_out)
     else:
         o_per_g = c_out // groups

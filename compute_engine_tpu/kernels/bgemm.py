@@ -68,14 +68,15 @@ def _planes_pm1(words, dtype=jnp.bfloat16):
     ]
 
 
-def _bgemm_kernel(lhs_ref, rhs_ref, mul_ref, bias_ref, out_ref, b_unp_ref, *,
-                  clamp_min: int, clamp_max: int, out_kind: str,
-                  total_bits: int):
+def _bgemm_kernel(lhs_ref, rhs_ref, *rest, clamp_min: int, clamp_max: int,
+                  out_kind: str, total_bits: int):
     """Grid step i: one (TM, N) output stripe.
 
     lhs_ref: (TM, KW) packed; rhs_ref: (KW, N) packed (whole matrix);
-    b_unp_ref: (32*KW, N) bf16 persistent scratch of unpacked weights.
+    ``rest`` holds per-out_kind epilogue operands (see ``bgemm``), then
+    out_ref and the persistent (32*KW, N) bf16 weight scratch.
     """
+    *epi_refs, out_ref, b_unp_ref = rest
 
     # Unpack the weights once; scratch persists across grid steps.
     @pl.when(pl.program_id(0) == 0)
@@ -94,8 +95,25 @@ def _bgemm_kernel(lhs_ref, rhs_ref, mul_ref, bias_ref, out_ref, b_unp_ref, *,
     if out_kind == "accum":
         out_ref[:, :] = acc
         return
+    if out_kind == "bitpacked":
+        # Threshold epilogue (`core/bconv2d/output_transform.h:164-167`)
+        # with in-kernel lane packing: bits (TM, N) {0,1} are packed 32-per-
+        # word by two small f32 matmuls against constant matrices holding
+        # 2^(j%32) for the low/high 16 bit positions of each word (each dot
+        # sums <=16 terms < 2^16 — exact in f32), then fused as lo | hi<<16.
+        thr_ref, lo_ref, hi_ref = epi_refs
+        bits = (acc > thr_ref[0, :]).astype(jnp.float32)
+        lo = jnp.dot(bits, lo_ref[:, :], preferred_element_type=jnp.float32)
+        hi = jnp.dot(bits, hi_ref[:, :], preferred_element_type=jnp.float32)
+        # Mosaic has no f32->u32 cast; assemble in int32 (the <<16 wraps into
+        # the sign bit, which is exactly the bitwise intent) and bitcast to
+        # uint32 outside the kernel.
+        out_ref[:, :] = (lo.astype(jnp.int32)
+                         | (hi.astype(jnp.int32) << 16))
+        return
     # Fused epilogue: float(clamp(acc << 1)) * mul + bias
     # (`core/bconv2d/output_transform.h:100-106`).
+    mul_ref, bias_ref = epi_refs
     x = jnp.clip(acc * 2, clamp_min, clamp_max).astype(jnp.float32)
     y = x * mul_ref[0, :] + bias_ref[0, :]
     if out_kind == "float":
@@ -109,11 +127,26 @@ def _bgemm_kernel(lhs_ref, rhs_ref, mul_ref, bias_ref, out_ref, b_unp_ref, *,
         raise ValueError(out_kind)
 
 
+def _pack_matrices(n):
+    """Constant (N, N/32) f32 matrices for in-kernel lane packing."""
+    import numpy as np
+
+    nw = n // BITWIDTH
+    j = np.arange(n)
+    w = j // BITWIDTH
+    pos = j % BITWIDTH
+    lo = np.zeros((n, nw), np.float32)
+    hi = np.zeros((n, nw), np.float32)
+    lo[j[pos < 16], w[pos < 16]] = (2.0 ** pos[pos < 16])
+    hi[j[pos >= 16], w[pos >= 16]] = (2.0 ** (pos[pos >= 16] - 16))
+    return lo, hi
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("clamp_min", "clamp_max", "out_kind", "block_m"),
 )
-def bgemm(lhs, rhs, multiplier=None, bias=None, *,
+def bgemm(lhs, rhs, multiplier=None, bias=None, thresholds=None, *,
           clamp_min: int = -(2 ** 31) + 1, clamp_max: int = 2 ** 31 - 1,
           out_kind: str = "float", block_m: int = 256):
     """Binary GEMM on packed words with fused output transform.
@@ -123,11 +156,15 @@ def bgemm(lhs, rhs, multiplier=None, bias=None, *,
       rhs: (KW, N) uint32 packed words (filter, K-major).
       multiplier, bias: (N,) float32 per-channel epilogue params (required
         for out_kind float/int8).
-      out_kind: "float" | "int8" | "accum" (raw int32 xor-popcount
-        accumulators — used by the bitpacked-output wrapper and tests).
+      thresholds: (N,) int32 (required for out_kind "bitpacked").
+      out_kind: "float" | "int8" | "bitpacked" (packed words, fused
+        in-kernel threshold + lane packing) | "accum" (raw int32
+        xor-popcount accumulators).
 
-    Returns (M, N) float32 / int8 / int32.
+    Returns (M, N) float32/int8/int32, or (M, ceil(N/32)) uint32.
     """
+    import numpy as np
+
     m, kw = lhs.shape
     kw2, n = rhs.shape
     assert kw == kw2, (kw, kw2)
@@ -138,16 +175,37 @@ def bgemm(lhs, rhs, multiplier=None, bias=None, *,
     np_ = _round_up(n, 128)
     lhs_p = jnp.pad(lhs, ((0, mp - m), (0, 0)))
     rhs_p = jnp.pad(rhs, ((0, 0), (0, np_ - n)))
+
+    full_spec = pl.BlockSpec((1, np_), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
     if out_kind == "accum":
-        mul_p = jnp.zeros((1, np_), jnp.float32)
-        bias_p = jnp.zeros((1, np_), jnp.float32)
-        out_dtype = jnp.int32
+        epi, epi_specs = [], []
+        out_dtype, out_cols = jnp.int32, np_
+    elif out_kind == "bitpacked":
+        # Padded channels get threshold +inf => always a 0 bit, so the
+        # padding bits of the last real word stay 0 (`bitpack.h:238-244`).
+        thr_p = jnp.pad(thresholds.astype(jnp.int32), (0, np_ - n),
+                        constant_values=np.int32(2 ** 31 - 1)).reshape(1, np_)
+        lo, hi = _pack_matrices(np_)
+        nw = np_ // BITWIDTH
+        epi = [thr_p, jnp.asarray(lo), jnp.asarray(hi)]
+        epi_specs = [
+            full_spec,
+            pl.BlockSpec((np_, nw), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((np_, nw), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_dtype, out_cols = jnp.int32, nw  # bitcast to uint32 after
     else:
         mul_p = jnp.pad(multiplier.astype(jnp.float32),
                         (0, np_ - n)).reshape(1, np_)
         bias_p = jnp.pad(bias.astype(jnp.float32),
                          (0, np_ - n)).reshape(1, np_)
+        epi = [mul_p, bias_p]
+        epi_specs = [full_spec, full_spec]
         out_dtype = jnp.float32 if out_kind == "float" else jnp.int8
+        out_cols = np_
 
     kernel = functools.partial(
         _bgemm_kernel, clamp_min=clamp_min, clamp_max=clamp_max,
@@ -165,22 +223,24 @@ def bgemm(lhs, rhs, multiplier=None, bias=None, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((kw, np_), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, np_), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, np_), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            *epi_specs,
         ],
-        out_specs=pl.BlockSpec((block_m, np_), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((block_m, out_cols), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((mp, out_cols), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((BITWIDTH * kw, np_), jnp.bfloat16),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * np_ * kw * BITWIDTH,
-            bytes_accessed=(mp * kw + kw * np_) * 4 + mp * np_ * 4,
+            bytes_accessed=(mp * kw + kw * np_) * 4 + mp * out_cols * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(lhs_p, rhs_p, mul_p, bias_p)
+    )(lhs_p, rhs_p, *epi)
+    if out_kind == "bitpacked":
+        from ..core.types import packed_size
+
+        return jax.lax.bitcast_convert_type(
+            out[:m, :packed_size(n)], PACKED_DTYPE)
     return out[:m, :n]
