@@ -1,0 +1,77 @@
+"""Converter CLI — counterpart of the reference's `tests/convert_model.py`
+manual conversion harness and the `convert_keras_model` entry point.
+
+Usage:
+  python -m compute_engine_tpu.converter.cli --model quicknet --output q.npz
+      [--keras-h5 model.h5 | --keras-saved-model dir]   # import weights
+      [--seed 0]                                        # else random init
+      [--int8-calib-batches 4]                          # int8 model
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--keras-h5", default=None)
+    p.add_argument("--keras-saved-model", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--int8-calib-batches", type=int, default=0,
+                   help="if >0, calibrate on N random batches and emit an "
+                        "int8 artifact")
+    args = p.parse_args(argv)
+
+    from ..models import (calibrate_model, convert_model, get_model,
+                          init_model)
+    from .artifact import save_artifact
+
+    spec = get_model(args.model)
+
+    if args.keras_h5 or args.keras_saved_model:
+        import tensorflow as tf
+
+        from .keras_import import import_keras_weights
+
+        keras_model = (tf.keras.models.load_model(args.keras_h5)
+                       if args.keras_h5 else
+                       tf.keras.models.load_model(args.keras_saved_model))
+        params = import_keras_weights(keras_model, spec)
+        source = args.keras_h5 or args.keras_saved_model
+    else:
+        params = init_model(spec, seed=args.seed, randomize_bn=True)
+        source = f"random(seed={args.seed})"
+
+    int8_ranges = None
+    if args.int8_calib_batches:
+        rng = np.random.default_rng(args.seed)
+        batches = [rng.normal(0, 1, (4, *spec.input_size, 3)).astype(
+            np.float32) for _ in range(args.int8_calib_batches)]
+        int8_ranges = calibrate_model(spec, params, batches)
+
+    layers = convert_model(spec, params, int8_ranges=int8_ranges)
+    save_artifact(args.output, layers, spec.name, {
+        "source": source,
+        "int8": bool(int8_ranges),
+        "input_size": list(spec.input_size),
+    })
+    n_bin = sum(1 for l in layers.values() if l["kind"] in ("bconv", "bdense"))
+    packed_bytes = sum(
+        l["packed_filter"].nbytes if "packed_filter" in l else
+        l.get("packed_kernel", np.empty(0)).nbytes
+        for l in layers.values() if l["kind"] in ("bconv", "bdense"))
+    print(json.dumps({
+        "model": spec.name, "output": args.output, "layers": len(layers),
+        "binary_layers": n_bin, "packed_weight_bytes": int(packed_bytes),
+        "int8": bool(int8_ranges),
+    }))
+
+
+if __name__ == "__main__":
+    main()

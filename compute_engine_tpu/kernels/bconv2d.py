@@ -43,7 +43,7 @@ from ..core.transforms import (
 from ..core.types import Padding
 from .bgemm import bgemm
 
-__all__ = ["bconv2d_bgemm", "bconv2d_mxu"]
+__all__ = ["bconv2d_bgemm", "bconv2d_mxu", "bconv2d_mxu_float_in"]
 
 
 def _apply_transform(accum, transform, output_kind):
@@ -194,5 +194,73 @@ def bconv2d_mxu(packed_input, packed_filter, transform: OutputTransform,
                                 pad_left)
         n_outside = jnp.asarray(np.sum(mask, axis=(2, 3)), jnp.float32)
         true_out = true_out + n_outside[None, :, :, None]
+
+    return _true_output_transform(true_out, transform, params, k, output_kind)
+
+
+def bconv2d_mxu_float_in(x, packed_filter, transform: OutputTransform,
+                         params: BConv2DParams, output_kind: str = "float",
+                         unpacked_filter=None):
+    """MXU binary conv taking *float* activations (pre-quantize).
+
+    The model runtime holds float activations between binary blocks (residual
+    adds keep them float); routing them through ``quantize`` -> packed ->
+    unpack -> conv costs two extra full-activation memory passes. This path
+    signs directly to +-1 bf16 (``bit = x < 0`` convention is exactly
+    ``sign with sign(0)=+1``) and runs the conv with its native fused SAME
+    zero padding. One-padding (pad_value=1) is recovered exactly as a
+    post-conv correction: the padded +1 taps contribute the per-tap filter
+    sums, so
+
+        true_one_pad[oy,ox,o] = conv_zero_pad + sum_outside tap_sum[fy,fx,o]
+
+    with the outside-tap mask a compile-time constant. All terms are exact
+    integers in fp32, so bit-exactness with the packed paths is preserved.
+    """
+    n, in_h, in_w, c_in = x.shape
+    c_out, fh, fw, cpg = packed_filter.shape
+    groups = params.groups
+    cg = c_in // groups
+    if c_in != params.channels_in:
+        raise ValueError(f"input channels {c_in} != params.channels_in "
+                         f"{params.channels_in}")
+    out_h, out_w, pad_top, pad_left = params.output_spatial(in_h, in_w, fh, fw)
+    k = params.backtransform_add(fh, fw)
+    zero_pad = params.padding == Padding.SAME and params.pad_value == 0
+
+    xq = jnp.where(x < 0, -1.0, 1.0).astype(jnp.bfloat16)
+    if unpacked_filter is None:
+        w = bitunpack(packed_filter, cg, dtype=jnp.bfloat16)
+        w = jnp.transpose(w, (1, 2, 3, 0))  # (FH, FW, Cg, O)
+    else:
+        w = unpacked_filter
+
+    conv_padding = "SAME" if params.padding == Padding.SAME else "VALID"
+    true_out = jax.lax.conv_general_dilated(
+        xq, w,
+        window_strides=params.stride,
+        padding=conv_padding,
+        rhs_dilation=params.dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+
+    if params.padding == Padding.SAME:
+        mask = outside_tap_mask(in_h, in_w, out_h, out_w, fh, fw,
+                                params.stride, params.dilation, pad_top,
+                                pad_left)
+        if zero_pad:
+            if cg % 2:
+                # Reference integer zero-point quirk (see bconv2d_mxu).
+                n_outside = jnp.asarray(np.sum(mask, axis=(2, 3)),
+                                        jnp.float32)
+                true_out = true_out + n_outside[None, :, :, None]
+        else:
+            # One-padding correction: add per-tap filter sums of the +1 pads.
+            tap_sum = jnp.sum(w.astype(jnp.float32), axis=2)  # (FH, FW, O)
+            corr = jnp.einsum("yxhw,hwo->yxo",
+                              jnp.asarray(mask, jnp.float32), tap_sum)
+            true_out = true_out + corr[None]
 
     return _true_output_transform(true_out, transform, params, k, output_kind)

@@ -60,6 +60,9 @@ class _Base:
     def concat(self, xs):
         return jnp.concatenate(xs, axis=-1)
 
+    def flatten(self, x):
+        return x.reshape(x.shape[0], -1)
+
     def activation(self, x, kind):
         return L.apply_activation(x, kind)
 
@@ -115,6 +118,14 @@ class InitBuilder(_Base):
                                pad_value),
             {k: jnp.asarray(v) for k, v in self.params[name]["bn"].items()})
 
+    def binary_dense_bn(self, x, units, *, name):
+        c = x.shape[-1]
+        kernel = self.rng.uniform(-1, 1, (c, units)).astype(np.float32)
+        self.params[name] = {"kernel": kernel, "bn": self._bn(units)}
+        return L.batch_norm(
+            _float_binary_dense(x, jnp.asarray(kernel)),
+            {k: jnp.asarray(v) for k, v in self.params[name]["bn"].items()})
+
     def dense(self, x, units, *, use_bias=True, activation=None, name):
         c = x.shape[-1]
         kernel = L.glorot_uniform(self.rng, (c, units), c, units)
@@ -151,6 +162,12 @@ def _float_binary_conv(x, kernel, stride, padding, pad_value):
     return L.conv2d(xq, wq, stride, padding)
 
 
+def _float_binary_dense(x, kernel):
+    """QAT binary dense: sign(x) @ sign(w) (larq QuantDense)."""
+    return jnp.dot(L.ste_sign(x), L.ste_sign(kernel),
+                   preferred_element_type=jnp.float32)
+
+
 class FloatBuilder(_Base):
     """QAT-style float forward from a parameter tree (the accuracy oracle)."""
 
@@ -177,6 +194,12 @@ class FloatBuilder(_Base):
         y = _float_binary_conv(x, jnp.asarray(self.params[name]["kernel"]),
                                _pair(stride), padding, pad_value)
         return L.batch_norm(y, self._bn(name))
+
+    def binary_dense_bn(self, x, units, *, name):
+        p = self.params[name]
+        return L.batch_norm(
+            _float_binary_dense(x, jnp.asarray(p["kernel"])),
+            self._bn(name))
 
     def dense(self, x, units, *, use_bias=True, activation=None, name):
         p = self.params[name]
@@ -303,6 +326,26 @@ class ConvertBuilder(_Base):
                                padding, pad_value),
             {k2: jnp.asarray(v) for k2, v in p["bn"].items()})
 
+    def binary_dense_bn(self, x, units, *, name):
+        p = self.params[name]
+        channels_in = int(x.shape[-1])
+        post_mul, post_bias = L.fold_batch_norm(p["bn"])
+        transform = fuse_output_transform(post_mul, post_bias, channels_in)
+        w = np.asarray(p["kernel"], np.float32)  # (C, units)
+        packed = bitpack_np(np.where(w.T < 0, -1.0, 1.0))  # (units, Cp)
+        self.layers[name] = {
+            "kind": "bdense",
+            "packed_kernel": packed,
+            "multiplier": transform.multiplier,
+            "bias": transform.bias,
+            "clamp_min": transform.clamp_min,
+            "clamp_max": transform.clamp_max,
+            "channels_in": channels_in,
+        }
+        return L.batch_norm(
+            _float_binary_dense(x, jnp.asarray(p["kernel"])),
+            {k2: jnp.asarray(v) for k2, v in p["bn"].items()})
+
     def dense(self, x, units, *, use_bias=True, activation=None, name):
         p = self.params[name]
         self.layers[name] = self._maybe_int8(name, {
@@ -376,6 +419,8 @@ class PackedBuilder(_Base):
 
     def binary_conv_bn(self, x, filters, ksize, *, stride=1, padding="SAME",
                        pad_value=1, name):
+        from ..kernels.bconv2d import bconv2d_mxu_float_in
+
         a = self.layers[name]
         params = BConv2DParams(
             channels_in=int(a["channels_in"]),
@@ -387,9 +432,41 @@ class PackedBuilder(_Base):
         transform = OutputTransform(
             clamp_min=int(a["clamp_min"]), clamp_max=int(a["clamp_max"]),
             multiplier=a["multiplier"], bias=a["bias"])
+        if self.kernel in ("auto", "mxu"):
+            # Activations are float between blocks; sign directly to +-1
+            # bf16 instead of a pack -> unpack round-trip (two full
+            # activation memory passes saved; bit-exact same result).
+            return bconv2d_mxu_float_in(
+                x, jnp.asarray(a["packed_filter"]), transform, params,
+                output_kind="float")
         xq = quantize(x)  # runtime LceQuantize boundary
         return bconv2d(xq, jnp.asarray(a["packed_filter"]), transform, params,
                        output_kind="float", kernel=self.kernel)
+
+    def binary_dense_bn(self, x, units, *, name):
+        from ..kernels.bgemm import bgemm
+        from ..core.bitpack import bitunpack
+
+        a = self.layers[name]
+        c_in = int(a["channels_in"])
+        k = c_in
+        if self.kernel in ("auto", "mxu"):
+            # sign -> +-1 bf16 matmul on the MXU (exact; see
+            # bconv2d_mxu_float_in for the rationale).
+            xq = jnp.where(x < 0, -1.0, 1.0).astype(jnp.bfloat16)
+            w = bitunpack(jnp.asarray(a["packed_kernel"]), c_in,
+                          dtype=jnp.bfloat16).T  # (C, units)
+            t = jnp.dot(xq, w, preferred_element_type=jnp.float32)
+            accum = ((k - t.astype(jnp.int32)) // 2).astype(jnp.int32)
+            acc2 = jnp.clip(accum * 2, int(a["clamp_min"]),
+                            int(a["clamp_max"]))
+            return acc2.astype(jnp.float32) * jnp.asarray(a["multiplier"]) \
+                + jnp.asarray(a["bias"])
+        lhs = quantize(x)  # (M, Cp)
+        rhs = jnp.asarray(a["packed_kernel"]).T  # (Cp, units)
+        return bgemm(lhs, rhs, jnp.asarray(a["multiplier"]),
+                     jnp.asarray(a["bias"]), clamp_min=int(a["clamp_min"]),
+                     clamp_max=int(a["clamp_max"]), out_kind="float")
 
     def dense(self, x, units, *, use_bias=True, activation=None, name):
         from ..core.types import round_half_away

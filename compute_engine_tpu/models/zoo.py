@@ -119,6 +119,59 @@ def birealnet18(b, x, *, num_classes=1000):
 
 
 # ---------------------------------------------------------------------------
+# BinaryResNet-E18 — Bethge et al. 2019 ("Back to Simplicity"): ResNet-18
+# with one binary conv per block and a parameter-free downsample shortcut
+# (2x2 average-pool + channel-duplicating concat).
+# ---------------------------------------------------------------------------
+
+
+def binary_resnet_e18(b, x, *, num_classes=1000):
+    x = b.conv_bn(x, 64, 7, stride=2, activation="relu", name="stem_conv")
+    x = b.max_pool(x, 3, 2)
+    filters = (64, 128, 256, 512)
+    for s, f in enumerate(filters):
+        for i in range(4):
+            downsample = s > 0 and i == 0
+            if downsample:
+                shortcut = b.avg_pool(x, 2, 2, padding="SAME")
+                shortcut = b.concat([shortcut, shortcut])
+                y = b.binary_conv_bn(x, f, 3, stride=2, pad_value=1,
+                                     name=f"stage_{s}_block_{i}")
+            else:
+                shortcut = x
+                y = b.binary_conv_bn(x, f, 3, pad_value=1,
+                                     name=f"stage_{s}_block_{i}")
+            x = b.add(shortcut, y)
+    x = b.activation(x, "relu")
+    x = b.global_avg_pool(x)
+    x = b.dense(x, num_classes, name="head")
+    return b.softmax(x)
+
+
+# ---------------------------------------------------------------------------
+# BinaryAlexNet — Hubara et al. 2016 BinaryNet, AlexNet topology as shipped
+# in larq-zoo literature: float first conv, binary convs + binary dense
+# trunk, float classifier head.
+# ---------------------------------------------------------------------------
+
+
+def binary_alexnet(b, x, *, num_classes=1000):
+    x = b.conv_bn(x, 96, 11, stride=4, name="stem_conv")
+    x = b.max_pool(x, 3, 2, padding="VALID")
+    x = b.binary_conv_bn(x, 256, 5, pad_value=1, name="conv2")
+    x = b.max_pool(x, 3, 2, padding="VALID")
+    x = b.binary_conv_bn(x, 384, 3, pad_value=1, name="conv3")
+    x = b.binary_conv_bn(x, 384, 3, pad_value=1, name="conv4")
+    x = b.binary_conv_bn(x, 256, 3, pad_value=1, name="conv5")
+    x = b.max_pool(x, 3, 2, padding="VALID")
+    x = b.flatten(x)
+    x = b.binary_dense_bn(x, 4096, name="fc1")
+    x = b.binary_dense_bn(x, 4096, name="fc2")
+    x = b.dense(x, num_classes, name="head")
+    return b.softmax(x)
+
+
+# ---------------------------------------------------------------------------
 # BinaryDenseNet
 # ---------------------------------------------------------------------------
 
@@ -167,6 +220,8 @@ MODELS = {
     "quicknet": ModelSpec("quicknet", quicknet),
     "quicknet_large": ModelSpec("quicknet_large", quicknet_large),
     "birealnet18": ModelSpec("birealnet18", birealnet18),
+    "binary_resnet_e18": ModelSpec("binary_resnet_e18", binary_resnet_e18),
+    "binary_alexnet": ModelSpec("binary_alexnet", binary_alexnet),
     "binary_densenet28": ModelSpec("binary_densenet28", binary_densenet28),
     "binary_densenet37": ModelSpec("binary_densenet37", binary_densenet37),
     "binary_densenet45": ModelSpec("binary_densenet45", binary_densenet45),

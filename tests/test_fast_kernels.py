@@ -105,3 +105,35 @@ def test_bgemm_accum_matches_numpy(m, kw, n, rng):
     got = np.asarray(bgemm(jnp.asarray(lhs), jnp.asarray(rhs),
                            out_kind="accum"))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("case", CASES, ids=range(len(CASES)))
+@pytest.mark.parametrize("output_kind", ["float", "bitpacked"])
+def test_float_in_mxu_bit_exact(case, output_kind, rng):
+    """The float-activation MXU path (sign -> conv + padding corrections)
+    must match the packed reference exactly."""
+    from compute_engine_tpu.kernels.bconv2d import bconv2d_mxu_float_in
+
+    in_shape = case[0]
+    params, xp, wp, post_mul, post_bias = make_case(rng, case)
+    if params.groups > 1 and output_kind == "bitpacked":
+        pytest.skip("grouped bitpacked covered elsewhere")
+    fh, fw = wp.shape[1], wp.shape[2]
+    k = params.backtransform_add(fh, fw)
+    if output_kind == "bitpacked":
+        transform = OutputTransform(thresholds=compute_output_thresholds(
+            post_mul, post_bias, k, params.activation))
+    else:
+        transform = fuse_output_transform(post_mul, post_bias, k,
+                                          params.activation)
+    want = np.asarray(
+        bconv2d_reference(xp, wp, transform, params, output_kind))
+    # Reconstruct the float activations the model runtime would hold.
+    from compute_engine_tpu.core import bitunpack
+    x_float = bitunpack(xp, params.channels_in, dtype=jnp.float32)
+    got = np.asarray(bconv2d_mxu_float_in(x_float, wp, transform, params,
+                                          output_kind))
+    if output_kind == "bitpacked":
+        np.testing.assert_array_equal(got, want)
+    else:
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)

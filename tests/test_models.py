@@ -94,6 +94,7 @@ def test_artifact_roundtrip(tmp_path, rng):
 
 @pytest.mark.parametrize("name", ["quicknet_small", "quicknet",
                                   "quicknet_large", "birealnet18",
+                                  "binary_resnet_e18", "binary_alexnet",
                                   "binary_densenet28", "binary_densenet37",
                                   "binary_densenet45"])
 def test_full_models_build(name):
@@ -107,3 +108,22 @@ def test_full_models_build(name):
     for l in layers.values():
         if l["kind"] == "bconv":
             assert l["packed_filter"].dtype == np.uint32
+
+
+def test_binary_dense_model_end2end(rng):
+    """binary_dense_bn across all builders (BinaryAlexNet-style tail)."""
+    def bd_model(b, x):
+        x = b.conv_bn(x, 16, 3, stride=2, activation="relu", name="stem")
+        x = b.binary_conv_bn(x, 32, 3, pad_value=1, name="bconv")
+        x = b.max_pool(x, 2, 2)
+        x = b.flatten(x)
+        x = b.binary_dense_bn(x, 64, name="bfc")
+        x = b.dense(x, 10, name="head")
+        return b.softmax(x)
+
+    spec = ModelSpec("bd_model", bd_model, input_size=(16, 16),
+                     num_classes=10)
+    x = rng.normal(0, 1, (2, 16, 16, 3)).astype(np.float32)
+    layers = _check_packed_matches_float(spec, x)
+    assert layers["bfc"]["kind"] == "bdense"
+    assert layers["bfc"]["packed_kernel"].dtype == np.uint32
