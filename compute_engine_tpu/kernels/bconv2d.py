@@ -200,7 +200,7 @@ def bconv2d_mxu(packed_input, packed_filter, transform: OutputTransform,
 
 def bconv2d_mxu_float_in(x, packed_filter, transform: OutputTransform,
                          params: BConv2DParams, output_kind: str = "float",
-                         unpacked_filter=None):
+                         unpacked_filter=None, conv_dtype=jnp.bfloat16):
     """MXU binary conv taking *float* activations (pre-quantize).
 
     The model runtime holds float activations between binary blocks (residual
@@ -228,12 +228,15 @@ def bconv2d_mxu_float_in(x, packed_filter, transform: OutputTransform,
     k = params.backtransform_add(fh, fw)
     zero_pad = params.padding == Padding.SAME and params.pad_value == 0
 
-    xq = jnp.where(x < 0, -1.0, 1.0).astype(jnp.bfloat16)
+    # +-1 operands are exact in bf16 (fp32 MXU accumulation) and in int8
+    # (int32 accumulation, 2x MXU rate on v5e).
+    acc_dtype = jnp.int32 if conv_dtype == jnp.int8 else jnp.float32
+    xq = jnp.where(x < 0, -1, 1).astype(conv_dtype)
     if unpacked_filter is None:
-        w = bitunpack(packed_filter, cg, dtype=jnp.bfloat16)
+        w = bitunpack(packed_filter, cg, dtype=conv_dtype)
         w = jnp.transpose(w, (1, 2, 3, 0))  # (FH, FW, Cg, O)
     else:
-        w = unpacked_filter
+        w = unpacked_filter.astype(conv_dtype)
 
     conv_padding = "SAME" if params.padding == Padding.SAME else "VALID"
     true_out = jax.lax.conv_general_dilated(
@@ -243,7 +246,7 @@ def bconv2d_mxu_float_in(x, packed_filter, transform: OutputTransform,
         rhs_dilation=params.dilation,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=acc_dtype,
     )
 
     if params.padding == Padding.SAME:
@@ -253,14 +256,13 @@ def bconv2d_mxu_float_in(x, packed_filter, transform: OutputTransform,
         if zero_pad:
             if cg % 2:
                 # Reference integer zero-point quirk (see bconv2d_mxu).
-                n_outside = jnp.asarray(np.sum(mask, axis=(2, 3)),
-                                        jnp.float32)
+                n_outside = jnp.asarray(np.sum(mask, axis=(2, 3)), acc_dtype)
                 true_out = true_out + n_outside[None, :, :, None]
         else:
             # One-padding correction: add per-tap filter sums of the +1 pads.
-            tap_sum = jnp.sum(w.astype(jnp.float32), axis=2)  # (FH, FW, O)
+            tap_sum = jnp.sum(w.astype(acc_dtype), axis=2)  # (FH, FW, O)
             corr = jnp.einsum("yxhw,hwo->yxo",
-                              jnp.asarray(mask, jnp.float32), tap_sum)
+                              jnp.asarray(mask, acc_dtype), tap_sum)
             true_out = true_out + corr[None]
 
     return _true_output_transform(true_out, transform, params, k, output_kind)

@@ -368,11 +368,15 @@ class PackedBuilder(_Base):
     """
 
     def __init__(self, artifact_layers, kernel="auto",
-                 compute_dtype=jnp.bfloat16, return_logits=False):
+                 compute_dtype=jnp.bfloat16, return_logits=False,
+                 binary_dtype=jnp.int8):
         self.layers = artifact_layers
         self.kernel = kernel
         self.compute_dtype = compute_dtype
         self.return_logits = return_logits
+        # Operand dtype for the +-1 MXU convs: bf16 (fp32 accum) or int8
+        # (int32 accum, 2x MXU rate) — both exact for +-1 operands.
+        self.binary_dtype = binary_dtype
 
     def softmax(self, x):
         if self.return_logits:
@@ -438,7 +442,7 @@ class PackedBuilder(_Base):
             # activation memory passes saved; bit-exact same result).
             return bconv2d_mxu_float_in(
                 x, jnp.asarray(a["packed_filter"]), transform, params,
-                output_kind="float")
+                output_kind="float", conv_dtype=self.binary_dtype)
         xq = quantize(x)  # runtime LceQuantize boundary
         return bconv2d(xq, jnp.asarray(a["packed_filter"]), transform, params,
                        output_kind="float", kernel=self.kernel)
@@ -453,10 +457,12 @@ class PackedBuilder(_Base):
         if self.kernel in ("auto", "mxu"):
             # sign -> +-1 bf16 matmul on the MXU (exact; see
             # bconv2d_mxu_float_in for the rationale).
-            xq = jnp.where(x < 0, -1.0, 1.0).astype(jnp.bfloat16)
+            acc_dtype = (jnp.int32 if self.binary_dtype == jnp.int8
+                         else jnp.float32)
+            xq = jnp.where(x < 0, -1, 1).astype(self.binary_dtype)
             w = bitunpack(jnp.asarray(a["packed_kernel"]), c_in,
-                          dtype=jnp.bfloat16).T  # (C, units)
-            t = jnp.dot(xq, w, preferred_element_type=jnp.float32)
+                          dtype=self.binary_dtype).T  # (C, units)
+            t = jnp.dot(xq, w, preferred_element_type=acc_dtype)
             accum = ((k - t.astype(jnp.int32)) // 2).astype(jnp.int32)
             acc2 = jnp.clip(accum * 2, int(a["clamp_min"]),
                             int(a["clamp_max"]))
@@ -528,9 +534,11 @@ def calibrate_model(spec, params, batches):
 
 
 def packed_apply(spec, artifact_layers, x, kernel="auto",
-                 compute_dtype=jnp.bfloat16, return_logits=False):
+                 compute_dtype=jnp.bfloat16, return_logits=False,
+                 binary_dtype=jnp.int8):
     """Packed inference forward."""
     return spec.forward(
         PackedBuilder(artifact_layers, kernel=kernel,
                       compute_dtype=compute_dtype,
-                      return_logits=return_logits), x)
+                      return_logits=return_logits,
+                      binary_dtype=binary_dtype), x)

@@ -25,7 +25,8 @@ from ..converter import load_artifact
 from ..models import convert_model, get_model, init_model, packed_apply
 
 
-def _iterated_forward(spec, layers, kernel, compute_dtype, iters):
+def _iterated_forward(spec, layers, kernel, compute_dtype, iters,
+                      binary_dtype=jnp.int8):
     """Run the model ``iters`` times inside one program.
 
     Host<->device round-trips here go through a high-latency tunnel, so
@@ -38,7 +39,8 @@ def _iterated_forward(spec, layers, kernel, compute_dtype, iters):
     def step(x, carry):
         x = x.at[0, 0, 0, 0].add(carry * 1e-12)
         out = packed_apply(spec, layers, x, kernel=kernel,
-                           compute_dtype=compute_dtype)
+                           compute_dtype=compute_dtype,
+                           binary_dtype=binary_dtype)
         return jnp.mean(out)
 
     def run(x):
@@ -51,7 +53,7 @@ def _iterated_forward(spec, layers, kernel, compute_dtype, iters):
 def benchmark_model(model="quicknet", batch=8, iters=20, warmup=1,
                     kernel="auto", artifact_path=None, seed=0,
                     compute_dtype=jnp.bfloat16, input_size=None,
-                    repeats=5):
+                    repeats=5, binary_dtype=jnp.int8):
     spec = get_model(model) if isinstance(model, str) else model
     if artifact_path:
         _, _, layers = load_artifact(artifact_path)
@@ -64,9 +66,10 @@ def benchmark_model(model="quicknet", batch=8, iters=20, warmup=1,
 
     # Differencing (see microbench.time_fn): T(2k) - T(k) cancels the fixed
     # per-dispatch tunnel/launch overhead.
-    run_k = _iterated_forward(spec, layers, kernel, compute_dtype, iters)
+    run_k = _iterated_forward(spec, layers, kernel, compute_dtype, iters,
+                              binary_dtype)
     run_2k = _iterated_forward(spec, layers, kernel, compute_dtype,
-                               2 * iters)
+                               2 * iters, binary_dtype)
     t0 = time.perf_counter()
     np.asarray(run_k(x))  # compile + first run; fetch forces completion
     compile_time = time.perf_counter() - t0

@@ -137,3 +137,21 @@ def test_float_in_mxu_bit_exact(case, output_kind, rng):
         np.testing.assert_array_equal(got, want)
     else:
         np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("case", CASES, ids=range(len(CASES)))
+def test_float_in_int8_operands_bit_exact(case, rng):
+    """int8 +-1 operands (int32 MXU accumulation) must also be exact."""
+    from compute_engine_tpu.core import bitunpack
+    from compute_engine_tpu.kernels.bconv2d import bconv2d_mxu_float_in
+
+    params, xp, wp, post_mul, post_bias = make_case(rng, case)
+    fh, fw = wp.shape[1], wp.shape[2]
+    k = params.backtransform_add(fh, fw)
+    transform = fuse_output_transform(post_mul, post_bias, k,
+                                      params.activation)
+    want = np.asarray(bconv2d_reference(xp, wp, transform, params, "float"))
+    x_float = bitunpack(xp, params.channels_in, dtype=jnp.float32)
+    got = np.asarray(bconv2d_mxu_float_in(x_float, wp, transform, params,
+                                          "float", conv_dtype=jnp.int8))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
