@@ -106,7 +106,15 @@ class MultiHostServer:
             self._interp = interp
 
     def _reshard(self):
-        self._build(self.monitor.alive_hosts())
+        hosts = self.monitor.alive_hosts()
+        if not hosts:
+            # Total outage: keep serving on the last good program rather than
+            # tearing the server down from the monitor thread; the next
+            # recovery event rebuilds the mesh.
+            import warnings
+            warnings.warn("all hosts lost heartbeat; keeping previous mesh")
+            return
+        self._build(hosts)
         self.reshard_count = getattr(self, "reshard_count", 0) + 1
 
     def _infer(self, batch):

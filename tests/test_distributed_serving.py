@@ -51,9 +51,11 @@ def test_multihost_server_end_to_end(rng):
                 [server.submit(im) for im in imgs]]
         assert all(o.shape == (5,) for o in outs)
 
-        # Simulate host loss: monitor drops h1 -> mesh rebuilt on h0 only.
-        server.monitor._last_seen["h1"] = -10**9
-        server.monitor._timeout = 1.0
+        # Simulate host loss by backdating h1's heartbeat past the (large)
+        # timeout; h0's stays fresh so only h1 is dropped even if the
+        # background poll thread sweeps concurrently.
+        server.monitor.heartbeat("h0")
+        server.monitor._last_seen["h1"] = server.monitor._clock() - 7200
         server.monitor.check_now()
         assert server.monitor.alive_hosts() == ["h0"]
         assert server.reshard_count >= 1
