@@ -383,6 +383,16 @@ class PackedBuilder(_Base):
             return x.astype(jnp.float32)
         return super().softmax(x)
 
+    def _store(self, y):
+        """Materialise an inter-layer activation in the compute dtype.
+
+        Accumulation stays fp32/int32 inside each layer; storing the stream
+        in bf16 (the production default) halves HBM traffic between layers,
+        which dominates the early high-resolution sections. compute_dtype=
+        float32 keeps the whole stream fp32 (bit-exact test mode).
+        """
+        return y.astype(self.compute_dtype)
+
     def _int8_conv(self, x, a, stride, padding):
         """int8 x int8 -> int32 conv on the MXU, then rescale.
 
@@ -411,7 +421,7 @@ class PackedBuilder(_Base):
             y = L.conv2d(x.astype(self.compute_dtype),
                          jnp.asarray(a["kernel"]), _pair(stride), padding)
         y = y.astype(jnp.float32) + jnp.asarray(a["bias"])
-        return L.apply_activation(y, activation)
+        return self._store(L.apply_activation(y, activation))
 
     def depthwise_conv_bn(self, x, ksize, *, stride=1, activation=None,
                           name):
@@ -419,7 +429,7 @@ class PackedBuilder(_Base):
         y = L.depthwise_conv2d(x.astype(self.compute_dtype),
                                jnp.asarray(a["kernel"]), _pair(stride))
         y = y.astype(jnp.float32) + jnp.asarray(a["bias"])
-        return L.apply_activation(y, activation)
+        return self._store(L.apply_activation(y, activation))
 
     def binary_conv_bn(self, x, filters, ksize, *, stride=1, padding="SAME",
                        pad_value=1, name):
@@ -440,12 +450,13 @@ class PackedBuilder(_Base):
             # Activations are float between blocks; sign directly to +-1
             # bf16 instead of a pack -> unpack round-trip (two full
             # activation memory passes saved; bit-exact same result).
-            return bconv2d_mxu_float_in(
+            return self._store(bconv2d_mxu_float_in(
                 x, jnp.asarray(a["packed_filter"]), transform, params,
-                output_kind="float", conv_dtype=self.binary_dtype)
+                output_kind="float", conv_dtype=self.binary_dtype))
         xq = quantize(x)  # runtime LceQuantize boundary
-        return bconv2d(xq, jnp.asarray(a["packed_filter"]), transform, params,
-                       output_kind="float", kernel=self.kernel)
+        return self._store(
+            bconv2d(xq, jnp.asarray(a["packed_filter"]), transform, params,
+                    output_kind="float", kernel=self.kernel))
 
     def binary_dense_bn(self, x, units, *, name):
         from ..kernels.bgemm import bgemm
@@ -466,13 +477,15 @@ class PackedBuilder(_Base):
             accum = ((k - t.astype(jnp.int32)) // 2).astype(jnp.int32)
             acc2 = jnp.clip(accum * 2, int(a["clamp_min"]),
                             int(a["clamp_max"]))
-            return acc2.astype(jnp.float32) * jnp.asarray(a["multiplier"]) \
-                + jnp.asarray(a["bias"])
+            return self._store(
+                acc2.astype(jnp.float32) * jnp.asarray(a["multiplier"])
+                + jnp.asarray(a["bias"]))
         lhs = quantize(x)  # (M, Cp)
         rhs = jnp.asarray(a["packed_kernel"]).T  # (Cp, units)
-        return bgemm(lhs, rhs, jnp.asarray(a["multiplier"]),
-                     jnp.asarray(a["bias"]), clamp_min=int(a["clamp_min"]),
-                     clamp_max=int(a["clamp_max"]), out_kind="float")
+        return self._store(
+            bgemm(lhs, rhs, jnp.asarray(a["multiplier"]),
+                  jnp.asarray(a["bias"]), clamp_min=int(a["clamp_min"]),
+                  clamp_max=int(a["clamp_max"]), out_kind="float"))
 
     def dense(self, x, units, *, use_bias=True, activation=None, name):
         from ..core.types import round_half_away
