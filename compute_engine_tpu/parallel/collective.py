@@ -24,7 +24,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from ..core.params import BConv2DParams
@@ -91,5 +91,5 @@ def tp_bconv2d(packed_input, packed_filter, transform: OutputTransform,
     out_specs = P() if mode == "gather" else P(None, None, None, axis)
 
     fn = shard_map(local_fn, mesh=mesh, in_specs=in_specs,
-                   out_specs=out_specs, check_rep=False)
+                   out_specs=out_specs, check_vma=False)
     return fn(packed_input, packed_filter, *t_arrays)

@@ -16,6 +16,7 @@ normally; the queue drains onto the new one).
 
 from __future__ import annotations
 
+import logging
 import threading
 
 import numpy as np
@@ -86,6 +87,10 @@ class MultiHostServer:
         if host_devices is None:
             host_devices = {"local": list(jax.devices())}
         self._host_devices = dict(host_devices)
+        # True while every host has lapsed: the server keeps dispatching on
+        # the last good mesh (calls may hang on real dead hardware), so
+        # callers must be able to see the state and apply their own timeouts.
+        self.degraded = False
         self.monitor = HeartbeatMonitor(
             list(host_devices), timeout_s=heartbeat_timeout_s,
             on_loss=lambda h: self._reshard(),
@@ -110,11 +115,14 @@ class MultiHostServer:
         if not hosts:
             # Total outage: keep serving on the last good program rather than
             # tearing the server down from the monitor thread; the next
-            # recovery event rebuilds the mesh.
-            import warnings
-            warnings.warn("all hosts lost heartbeat; keeping previous mesh")
+            # recovery event rebuilds the mesh. logging (not warnings.warn)
+            # so EVERY recurrence is surfaced, not just the first.
+            self.degraded = True
+            logging.getLogger(__name__).warning(
+                "all hosts lost heartbeat; serving degraded on previous mesh")
             return
         self._build(hosts)
+        self.degraded = False
         self.reshard_count = getattr(self, "reshard_count", 0) + 1
 
     def _infer(self, batch):

@@ -110,6 +110,26 @@ def test_full_models_build(name):
             assert l["packed_filter"].dtype == np.uint32
 
 
+def test_default_bf16_stream_matches_fp32(rng):
+    """The shipped default (bf16 inter-layer stream) tracks the fp32 path.
+
+    Accumulation inside every layer stays fp32/int32; only the stored
+    residual stream is bf16. Across residual chains that costs a few ulps,
+    so the check is top-1 agreement on every sample plus a loose allclose
+    on probabilities — guarding the production default's numerics (they
+    were previously only covered with compute_dtype=float32).
+    """
+    params = init_model(TINY, seed=3, randomize_bn=True)
+    layers = convert_model(TINY, params)
+    x = rng.normal(0, 1, (8, 32, 32, 3)).astype(np.float32)
+    ref = np.asarray(packed_apply(TINY, layers, jnp.asarray(x),
+                                  compute_dtype=jnp.float32))
+    got = np.asarray(packed_apply(TINY, layers, jnp.asarray(x),
+                                  compute_dtype=jnp.bfloat16))
+    assert (got.argmax(-1) == ref.argmax(-1)).all()
+    np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.1)
+
+
 def test_binary_dense_model_end2end(rng):
     """binary_dense_bn across all builders (BinaryAlexNet-style tail)."""
     def bd_model(b, x):
