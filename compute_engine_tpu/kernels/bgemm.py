@@ -13,13 +13,28 @@ than translated:
   MXU accumulates in fp32, exact below 2^24).
 * The operands stay **bitpacked in HBM and VMEM** (32x compression — the
   entire point of a BNN engine); each kernel invocation unpacks words to +-1
-  bf16 *bit-planes* in VMEM/registers and feeds the MXU. The weight planes
-  are unpacked once into persistent VMEM scratch on the first grid step and
-  reused for every M tile, so the VPU unpack cost is amortised to O(M*K)
-  while the MXU does O(M*N*K).
+  bf16 *bit-planes* in VMEM/registers and feeds the MXU.
 * The fused epilogues (clamp -> mul -> bias, int8 round/saturate, threshold
   compare — `kernels_aarch64.h:87-91`'s asm-if variants) run on the VPU on
   the fp32 tile before it is written back.
+
+Tiling (the TPU analogue of ruy TrMul's cache-blocked traversal +
+`select_kernel.h`'s depth-blocked microkernels):
+
+* The grid tiles N into ``block_n`` columns and M into ``block_m`` rows, with
+  the M dimension iterating fastest, so the weight strip for one N tile is
+  unpacked into persistent VMEM scratch exactly once (at the first M step)
+  and reused for every M tile — the VPU unpack cost is O(K*N) total while
+  the MXU does O(M*N*K).
+* Inside a step, the packed LHS tile is unpacked and contracted in
+  ``chunk_kw``-word K slices, bounding the unpacked-activation temporary to
+  (block_m, 32*chunk_kw) bf16 regardless of K.
+* ``block_n`` is chosen so the weight scratch (32*KW, block_n) bf16 fits a
+  fixed VMEM budget. If K is so large that even the minimum block_n cannot
+  fit a full-K strip, the grid gains a third K dimension and partial products
+  accumulate in an fp32 VMEM scratch across K steps (weights are then
+  unpacked per step — the unavoidable cost of K far beyond the zoo family's
+  shapes).
 
 Bit-plane trick: the contraction order over the K*32 unpacked positions is
 irrelevant as long as LHS and RHS agree, so words are unpacked bit-major
@@ -39,12 +54,21 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.types import BITWIDTH, PACKED_DTYPE
+from ..core.types import BITWIDTH, PACKED_DTYPE, packed_size
+
+# VMEM budget for the persistent unpacked-weight scratch (bf16). v5e has
+# ~16 MB of VMEM per core; this leaves room for the double-buffered input
+# blocks, the unpacked-LHS temporary and the output tile.
+_WEIGHT_SCRATCH_BUDGET = 4 * 1024 * 1024
+# Bound on the unpacked-LHS temporary (block_m, 32*chunk_kw) bf16.
+_CHUNK_KW = 64  # 2048 unpacked K per slice
 
 
 def _cdiv(a, b):
@@ -68,36 +92,45 @@ def _planes_pm1(words, dtype=jnp.bfloat16):
     ]
 
 
-def _bgemm_kernel(lhs_ref, rhs_ref, *rest, clamp_min: int, clamp_max: int,
-                  out_kind: str, total_bits: int):
-    """Grid step i: one (TM, N) output stripe.
+def _unpack_to(scratch_ref, words, row0, kw):
+    """Unpack (kw, n) packed words into scratch rows [row0*32, row0*32+32*kw)."""
+    for j, plane in enumerate(_planes_pm1(words)):
+        scratch_ref[pl.ds(row0 * BITWIDTH + j * kw, kw), :] = plane
 
-    lhs_ref: (TM, KW) packed; rhs_ref: (KW, N) packed (whole matrix);
-    ``rest`` holds per-out_kind epilogue operands (see ``bgemm``), then
-    out_ref and the persistent (32*KW, N) bf16 weight scratch.
-    """
-    *epi_refs, out_ref, b_unp_ref = rest
 
-    # Unpack the weights once; scratch persists across grid steps.
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        kw = rhs_ref.shape[0]
-        for j, plane in enumerate(_planes_pm1(rhs_ref[:, :])):
-            b_unp_ref[pl.ds(j * kw, kw), :] = plane
+def _chunked_contract(lhs_words, w_ref, kw, chunk_kw):
+    """sum_k unpack(lhs)[.., 32k] @ w_ref[32k, ..] in chunk_kw-word slices."""
+    acc = None
+    for c0 in range(0, kw, chunk_kw):
+        c = min(chunk_kw, kw - c0)
+        a_unp = jnp.concatenate(
+            _planes_pm1(lhs_words[:, c0:c0 + c]), axis=1)  # (TM, 32c)
+        # Weight rows for words [c0, c0+c) are bit-major within this call's
+        # unpack ordering: plane j of word w lives at row j*kw + w when the
+        # whole strip was unpacked at once. To keep chunking composable the
+        # scratch is laid out chunk-major: see _unpack_chunks below.
+        w = w_ref[pl.ds(c0 * BITWIDTH, c * BITWIDTH), :]
+        t = jnp.dot(a_unp, w, preferred_element_type=jnp.float32)
+        acc = t if acc is None else acc + t
+    return acc
 
-    # Unpack this activation stripe bit-major and contract on the MXU.
-    a_unp = jnp.concatenate(_planes_pm1(lhs_ref[:, :]), axis=1)  # (TM, 32KW)
-    t = jnp.dot(a_unp, b_unp_ref[:, :], preferred_element_type=jnp.float32)
 
-    # Exact accumulator: accum = (32*KW - t) / 2 (see module docstring).
-    acc = ((total_bits - t.astype(jnp.int32)) // 2).astype(jnp.int32)
+def _unpack_chunks(scratch_ref, words, kw, chunk_kw):
+    """Unpack (kw, n) words chunk-major so _chunked_contract rows line up."""
+    for c0 in range(0, kw, chunk_kw):
+        c = min(chunk_kw, kw - c0)
+        for j, plane in enumerate(_planes_pm1(words[c0:c0 + c, :])):
+            scratch_ref[pl.ds(c0 * BITWIDTH + j * c, c), :] = plane
 
+
+def _epilogue(acc, epi_refs, out_ref, *, clamp_min, clamp_max, out_kind):
+    """Fused output transform on an fp32 int-valued accumulator tile."""
     if out_kind == "accum":
         out_ref[:, :] = acc
         return
     if out_kind == "bitpacked":
         # Threshold epilogue (`core/bconv2d/output_transform.h:164-167`)
-        # with in-kernel lane packing: bits (TM, N) {0,1} are packed 32-per-
+        # with in-kernel lane packing: bits (TM, TN) {0,1} are packed 32-per-
         # word by two small f32 matmuls against constant matrices holding
         # 2^(j%32) for the low/high 16 bit positions of each word (each dot
         # sums <=16 terms < 2^16 — exact in f32), then fused as lo | hi<<16.
@@ -127,10 +160,76 @@ def _bgemm_kernel(lhs_ref, rhs_ref, *rest, clamp_min: int, clamp_max: int,
         raise ValueError(out_kind)
 
 
+def _bgemm_kernel(lhs_ref, rhs_ref, *rest, clamp_min: int, clamp_max: int,
+                  out_kind: str, total_bits: int, chunk_kw: int):
+    """Grid step (j, i): one (block_m, block_n) output tile.
+
+    lhs_ref: (block_m, KW) packed at M tile i; rhs_ref: (KW, block_n) packed
+    at N strip j; ``rest`` holds per-out_kind epilogue operands (see
+    ``bgemm``), then out_ref and the persistent (32*KW, block_n) bf16 weight
+    scratch (unpacked once per N strip, at the first M step).
+    """
+    *epi_refs, out_ref, w_ref = rest
+    kw = rhs_ref.shape[0]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        _unpack_chunks(w_ref, rhs_ref[:, :], kw, chunk_kw)
+
+    t = _chunked_contract(lhs_ref[:, :], w_ref, kw, chunk_kw)
+    # Exact accumulator: accum = (32*KW - t) / 2 (see module docstring).
+    acc = ((total_bits - t.astype(jnp.int32)) // 2).astype(jnp.int32)
+    _epilogue(acc, epi_refs, out_ref, clamp_min=clamp_min,
+              clamp_max=clamp_max, out_kind=out_kind)
+
+
+def _bgemm_kernel_bigk(lhs_ref, rhs_ref, *rest, clamp_min: int,
+                       clamp_max: int, out_kind: str, total_bits: int,
+                       chunk_kw: int, num_k: int, block_kw: int, kw: int):
+    """Grid step (i, j, k): K-blocked fallback for K beyond VMEM capacity.
+
+    Partial +-1 dot products accumulate in fp32 scratch across K steps (the
+    weight strip no longer fits VMEM whole, so weights are unpacked per
+    step); the epilogue runs at the last K step. Analogue of ruy's
+    depth-blocked TrMul traversal for deep GEMMs.
+    """
+    *epi_refs, out_ref, acc_ref = rest
+    k_id = pl.program_id(2)
+    this_kw = lhs_ref.shape[1]
+
+    # Unpack + contract in chunk_kw slices to bound temporaries.
+    t = None
+    for c0 in range(0, this_kw, chunk_kw):
+        c = min(chunk_kw, this_kw - c0)
+        a_unp = jnp.concatenate(
+            _planes_pm1(lhs_ref[:, c0:c0 + c]), axis=1)
+        w_unp = jnp.concatenate(
+            _planes_pm1(rhs_ref[c0:c0 + c, :]), axis=0)
+        p = jnp.dot(a_unp, w_unp, preferred_element_type=jnp.float32)
+        t = p if t is None else t + p
+    # Mask out the contribution of K-padding words beyond the true KW: the
+    # grid pads K to num_k*block_kw with zero words in BOTH operands, each
+    # contributing +1*+1 = +1; total_bits already counts only real words, so
+    # subtract the pad-word count here.
+    pad_words = num_k * block_kw - kw
+    is_last = k_id == num_k - 1
+
+    @pl.when(k_id == 0)
+    def _():
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:, :] += t
+
+    @pl.when(is_last)
+    def _():
+        total = acc_ref[:, :] - np.float32(pad_words * BITWIDTH)
+        acc = ((total_bits - total.astype(jnp.int32)) // 2).astype(jnp.int32)
+        _epilogue(acc, epi_refs, out_ref, clamp_min=clamp_min,
+                  clamp_max=clamp_max, out_kind=out_kind)
+
+
 def _pack_matrices(n):
     """Constant (N, N/32) f32 matrices for in-kernel lane packing."""
-    import numpy as np
-
     nw = n // BITWIDTH
     j = np.arange(n)
     w = j // BITWIDTH
@@ -142,13 +241,42 @@ def _pack_matrices(n):
     return lo, hi
 
 
+def _pick_blocks(m, kw, n, vmem_budget=_WEIGHT_SCRATCH_BUDGET):
+    """Choose (block_m, block_n, block_kw, num_k) under the VMEM budget.
+
+    block_n is the largest multiple of 128 (<= 512) whose full-K weight strip
+    (32*KW, block_n) bf16 fits ``vmem_budget``; if none fits, K is blocked
+    into the largest block_kw that fits at block_n=128.
+    """
+    strip_bytes_per_col = BITWIDTH * kw * 2
+    block_n = 128
+    for cand in (512, 384, 256, 128):
+        if cand * strip_bytes_per_col <= vmem_budget:
+            block_n = cand
+            break
+    if 128 * strip_bytes_per_col <= vmem_budget:
+        num_k, block_kw = 1, kw
+    else:
+        block_kw = max(_CHUNK_KW,
+                       (vmem_budget // (128 * BITWIDTH * 2)) // _CHUNK_KW
+                       * _CHUNK_KW)
+        num_k = _cdiv(kw, block_kw)
+        block_n = 128
+    # 32-row multiples keep int8/bitpacked output tiles on natural sublane
+    # boundaries (int8 min tile is (32, 128)).
+    block_m = min(256, _round_up(m, 32))
+    return block_m, block_n, block_kw, num_k
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("clamp_min", "clamp_max", "out_kind", "block_m"),
+    static_argnames=("clamp_min", "clamp_max", "out_kind", "block_m",
+                     "block_n"),
 )
 def bgemm(lhs, rhs, multiplier=None, bias=None, thresholds=None, *,
           clamp_min: int = -(2 ** 31) + 1, clamp_max: int = 2 ** 31 - 1,
-          out_kind: str = "float", block_m: int = 256):
+          out_kind: str = "float", block_m: int | None = None,
+          block_n: int | None = None):
     """Binary GEMM on packed words with fused output transform.
 
     Args:
@@ -160,87 +288,121 @@ def bgemm(lhs, rhs, multiplier=None, bias=None, thresholds=None, *,
       out_kind: "float" | "int8" | "bitpacked" (packed words, fused
         in-kernel threshold + lane packing) | "accum" (raw int32
         xor-popcount accumulators).
+      block_m, block_n: optional tile overrides (defaults picked to fit the
+        VMEM budget; see _pick_blocks).
 
     Returns (M, N) float32/int8/int32, or (M, ceil(N/32)) uint32.
     """
-    import numpy as np
-
     m, kw = lhs.shape
     kw2, n = rhs.shape
     assert kw == kw2, (kw, kw2)
     assert lhs.dtype == PACKED_DTYPE and rhs.dtype == PACKED_DTYPE
 
-    block_m = min(block_m, _round_up(m, 32))
+    bm, bn, block_kw, num_k = _pick_blocks(m, kw, n)
+    block_m = bm if block_m is None else min(block_m, _round_up(m, 32))
+    block_n = bn if block_n is None else block_n
     mp = _round_up(m, block_m)
-    np_ = _round_up(n, 128)
-    lhs_p = jnp.pad(lhs, ((0, mp - m), (0, 0)))
-    rhs_p = jnp.pad(rhs, ((0, 0), (0, np_ - n)))
+    np_ = _round_up(n, block_n)
+    num_i, num_j = mp // block_m, np_ // block_n
 
-    full_spec = pl.BlockSpec((1, np_), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM)
+    lhs_p = jnp.pad(lhs, ((0, mp - m), (0, num_k * block_kw - kw)))
+    rhs_p = jnp.pad(rhs, ((0, num_k * block_kw - kw), (0, np_ - n)))
+
+    # --- epilogue operands, blocked over N ---
+    if num_k == 1:
+        ep_idx = lambda j, i: (0, j)  # noqa: E731
+        pk_idx = lambda j, i: (0, 0)  # noqa: E731
+    else:
+        ep_idx = lambda i, j, k: (0, j)  # noqa: E731
+        pk_idx = lambda i, j, k: (0, 0)  # noqa: E731
+    row_spec = pl.BlockSpec((1, block_n), ep_idx, memory_space=pltpu.VMEM)
     if out_kind == "accum":
         epi, epi_specs = [], []
-        out_dtype, out_cols = jnp.int32, np_
+        out_dtype, out_cols, out_bn = jnp.int32, np_, block_n
     elif out_kind == "bitpacked":
         # Padded channels get threshold +inf => always a 0 bit, so the
         # padding bits of the last real word stay 0 (`bitpack.h:238-244`).
         thr_p = jnp.pad(thresholds.astype(jnp.int32), (0, np_ - n),
                         constant_values=np.int32(2 ** 31 - 1)).reshape(1, np_)
-        lo, hi = _pack_matrices(np_)
-        nw = np_ // BITWIDTH
+        lo, hi = _pack_matrices(block_n)
+        nw = block_n // BITWIDTH
         epi = [thr_p, jnp.asarray(lo), jnp.asarray(hi)]
         epi_specs = [
-            full_spec,
-            pl.BlockSpec((np_, nw), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((np_, nw), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            row_spec,
+            pl.BlockSpec((block_n, nw), pk_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, nw), pk_idx, memory_space=pltpu.VMEM),
         ]
-        out_dtype, out_cols = jnp.int32, nw  # bitcast to uint32 after
+        out_dtype, out_cols, out_bn = jnp.int32, np_ // BITWIDTH, nw
     else:
         mul_p = jnp.pad(multiplier.astype(jnp.float32),
                         (0, np_ - n)).reshape(1, np_)
         bias_p = jnp.pad(bias.astype(jnp.float32),
                          (0, np_ - n)).reshape(1, np_)
         epi = [mul_p, bias_p]
-        epi_specs = [full_spec, full_spec]
+        epi_specs = [row_spec, row_spec]
         out_dtype = jnp.float32 if out_kind == "float" else jnp.int8
-        out_cols = np_
-
-    kernel = functools.partial(
-        _bgemm_kernel, clamp_min=clamp_min, clamp_max=clamp_max,
-        out_kind=out_kind, total_bits=BITWIDTH * kw)
+        out_cols, out_bn = np_, block_n
 
     # On non-TPU backends (CPU test meshes) run the kernel interpreted so the
     # same code path is exercised everywhere.
     interpret = jax.default_backend() != "tpu"
 
-    out = pl.pallas_call(
-        kernel,
-        grid=(mp // block_m,),
-        in_specs=[
-            pl.BlockSpec((block_m, kw), lambda i: (i, 0),
+    flops = 2 * mp * np_ * kw * BITWIDTH
+    if out_kind == "bitpacked":
+        # Two extra lane-packing matmuls per tile: (TM, TN) @ (TN, TN/32).
+        flops += 2 * 2 * mp * np_ * (block_n // BITWIDTH)
+    cost = pl.CostEstimate(
+        # LHS is streamed once per N strip.
+        flops=flops,
+        bytes_accessed=(mp * kw * num_j + kw * np_) * 4 + mp * out_cols * 4,
+        transcendentals=0,
+    )
+
+    if num_k == 1:
+        kernel = functools.partial(
+            _bgemm_kernel, clamp_min=clamp_min, clamp_max=clamp_max,
+            out_kind=out_kind, total_bits=BITWIDTH * kw, chunk_kw=_CHUNK_KW)
+        grid = (num_j, num_i)
+        in_specs = [
+            pl.BlockSpec((block_m, kw), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kw, np_), lambda i: (0, 0),
+            pl.BlockSpec((kw, block_n), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
             *epi_specs,
-        ],
-        out_specs=pl.BlockSpec((block_m, out_cols), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        ]
+        out_spec = pl.BlockSpec((block_m, out_bn), lambda j, i: (i, j),
+                                memory_space=pltpu.VMEM)
+        scratch = [pltpu.VMEM((BITWIDTH * kw, block_n), jnp.bfloat16)]
+    else:
+        kernel = functools.partial(
+            _bgemm_kernel_bigk, clamp_min=clamp_min, clamp_max=clamp_max,
+            out_kind=out_kind, total_bits=BITWIDTH * kw, chunk_kw=_CHUNK_KW,
+            num_k=num_k, block_kw=block_kw, kw=kw)
+        grid = (num_i, num_j, num_k)
+        in_specs = [
+            pl.BlockSpec((block_m, block_kw), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_kw, block_n), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            *epi_specs,
+        ]
+        out_spec = pl.BlockSpec((block_m, out_bn), lambda i, j, k: (i, j),
+                                memory_space=pltpu.VMEM)
+        scratch = [pltpu.VMEM((block_m, block_n), jnp.float32)]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((mp, out_cols), out_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((BITWIDTH * kw, np_), jnp.bfloat16),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * mp * np_ * kw * BITWIDTH,
-            bytes_accessed=(mp * kw + kw * np_) * 4 + mp * out_cols * 4,
-            transcendentals=0,
-        ),
+        scratch_shapes=scratch,
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",) * len(grid)),
         interpret=interpret,
     )(lhs_p, rhs_p, *epi)
     if out_kind == "bitpacked":
-        from ..core.types import packed_size
-
         return jax.lax.bitcast_convert_type(
             out[:m, :packed_size(n)], PACKED_DTYPE)
     return out[:m, :n]

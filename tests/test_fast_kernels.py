@@ -93,17 +93,55 @@ def test_fast_kernel_bit_exact(kernel, case, output_kind, rng):
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("m,kw,n", [(7, 3, 5), (128, 18, 64), (200, 144, 130)])
-def test_bgemm_accum_matches_numpy(m, kw, n, rng):
-    """Raw accumulator output vs a numpy xor-popcount oracle."""
-    lhs = rng.integers(0, 2 ** 32, size=(m, kw), dtype=np.uint32)
-    rhs = rng.integers(0, 2 ** 32, size=(kw, n), dtype=np.uint32)
-    want = np.zeros((m, n), np.int64)
-    for k in range(kw):
+def _accum_oracle(lhs, rhs):
+    want = np.zeros((lhs.shape[0], rhs.shape[1]), np.int64)
+    for k in range(rhs.shape[0]):
         x = np.bitwise_xor(lhs[:, k, None], rhs[None, k, :])
         want += np.vectorize(lambda v: bin(v).count("1"))(x)
+    return want
+
+
+@pytest.mark.parametrize("m,kw,n", [
+    (7, 3, 5), (128, 18, 64), (200, 144, 130),
+    # BinaryAlexNet fc1 depth (9216 unpacked K) — exceeded VMEM before the
+    # N/K-tiled rewrite; must route through block_n=128 full-K strips.
+    (8, 288, 512),
+    # K beyond the weight-scratch budget: exercises the K-blocked grid with
+    # fp32 partial accumulation and pad-word correction.
+    (40, 600, 96),
+])
+def test_bgemm_accum_matches_numpy(m, kw, n, rng):
+    """Raw accumulator output vs a numpy xor-popcount oracle."""
+    from compute_engine_tpu.kernels.bgemm import _pick_blocks
+
+    lhs = rng.integers(0, 2 ** 32, size=(m, kw), dtype=np.uint32)
+    rhs = rng.integers(0, 2 ** 32, size=(kw, n), dtype=np.uint32)
+    want = _accum_oracle(lhs, rhs)
     got = np.asarray(bgemm(jnp.asarray(lhs), jnp.asarray(rhs),
                            out_kind="accum"))
+    np.testing.assert_array_equal(got, want)
+    if kw == 600:
+        # Guard: this case must actually hit the K-blocked path.
+        assert _pick_blocks(m, kw, n)[3] > 1
+
+
+@pytest.mark.parametrize("n", [1, 31, 32, 33, 40, 64, 127, 128])
+def test_bgemm_bitpacked_alignment_sweep(n, rng):
+    """channels_out alignment sweep through the fused in-kernel lane-packing
+    epilogue: padding bits of the last word must be 0 at every alignment
+    (`bitpack.h:238-244` invariant), and real bits must match the oracle."""
+    m, kw = 48, 6
+    lhs = rng.integers(0, 2 ** 32, size=(m, kw), dtype=np.uint32)
+    rhs = rng.integers(0, 2 ** 32, size=(kw, n), dtype=np.uint32)
+    accum = _accum_oracle(lhs, rhs)
+    thr = rng.integers(kw * 16 - 20, kw * 16 + 20, n).astype(np.int32)
+    got = np.asarray(bgemm(jnp.asarray(lhs), jnp.asarray(rhs),
+                           thresholds=jnp.asarray(thr),
+                           out_kind="bitpacked"))
+    bits = (accum > thr).astype(np.uint32)
+    want = np.zeros((m, -(-n // 32)), np.uint32)
+    for j in range(n):
+        want[:, j // 32] |= bits[:, j] << (j % 32)
     np.testing.assert_array_equal(got, want)
 
 
