@@ -43,7 +43,12 @@ from ..core.transforms import (
 from ..core.types import Padding
 from .bgemm import bgemm
 
-__all__ = ["bconv2d_bgemm", "bconv2d_mxu", "bconv2d_mxu_float_in"]
+__all__ = ["bconv2d_bgemm", "bconv2d_mxu", "bconv2d_mxu_float_in",
+           "bconv2d_mxu_s2d"]
+
+
+def _cdiv(a, b):
+    return -(-a // b)
 
 
 def _apply_transform(accum, transform, output_kind):
@@ -194,6 +199,122 @@ def bconv2d_mxu(packed_input, packed_filter, transform: OutputTransform,
                                 pad_left)
         n_outside = jnp.asarray(np.sum(mask, axis=(2, 3)), jnp.float32)
         true_out = true_out + n_outside[None, :, :, None]
+
+    return _true_output_transform(true_out, transform, params, k, output_kind)
+
+
+def _s2d_weights(w, fh, fw, c, o, stride, conv_dtype):
+    """Retile a (FH, FW, C, O) filter for space-to-depth(2) execution.
+
+    For stride 1 the output keeps its own 2x2 phase structure (4*O channels);
+    for stride 2 the output phases collapse (stride-2 output index i reads
+    input rows 2i+dy only). Tap (dy, dx) of output phase (di, dj) lands at
+    s2d-cell offset ((di+dy)//2, (dj+dx)//2), input sub-phase
+    ((di+dy)%2, (dj+dx)%2); every (dy, dx) maps to a unique slot, the rest of
+    the retiled filter is zero. Zeros are exact in the +-1 formulation: they
+    contribute nothing to the integer-valued conv result, so the accumulator
+    back-transform is unchanged.
+    """
+    if stride == 1:
+        qh, qw = fh // 2 + 1, fw // 2 + 1
+        phases = [(0, 0), (0, 1), (1, 0), (1, 1)]
+    else:
+        qh, qw = (fh - 1) // 2 + 1, (fw - 1) // 2 + 1
+        phases = [(0, 0)]
+    w2 = jnp.zeros((qh, qw, 4 * c, len(phases) * o), conv_dtype)
+    for p, (di, dj) in enumerate(phases):
+        for dy in range(fh):
+            qy, u = divmod(di + dy, 2)
+            for dx in range(fw):
+                qx, v = divmod(dj + dx, 2)
+                ch = (u * 2 + v) * c
+                w2 = w2.at[qy, qx, ch:ch + c, p * o:(p + 1) * o].set(
+                    w[dy, dx].astype(conv_dtype))
+    return w2, qh, qw, len(phases)
+
+
+def _s2d(x):
+    """(B, 2H, 2W, C) -> (B, H, W, 4C), cell channels ordered (u, v, c)."""
+    b, h2, w2, c = x.shape
+    x = x.reshape(b, h2 // 2, 2, w2 // 2, 2, c)
+    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(
+        b, h2 // 2, w2 // 2, 4 * c)
+
+
+def bconv2d_mxu_s2d(x, packed_filter, transform: OutputTransform,
+                    params: BConv2DParams, output_kind: str = "float",
+                    unpacked_filter=None, conv_dtype=jnp.int8):
+    """MXU binary conv via space-to-depth(2): float activations in.
+
+    The early binary sections (56x56x64, 28x28x128) underfill the MXU's 128
+    input/output lanes. Space-to-depth folds a 2x2 spatial cell into the
+    channel dim (C -> 4C, O -> 4O for stride 1), trading ~1.8x more MACs
+    (the retiled filter is ~56% dense) for full lane occupancy — the TPU
+    counterpart of the reference's im2col layout tuning
+    (`core/bconv2d/optimized_bgemm.h:19-61`). Exactness: all operands stay
+    {-1, 0, +1}, padding is applied explicitly in the sign domain before the
+    reshape, so the integer conv result equals the direct formulation's.
+
+    Requires groups == 1, dilation == 1, square stride in {1, 2}, and even
+    channels_in (the odd-depth zero-padding quirk is not retiled).
+    """
+    n, in_h, in_w, c_in = x.shape
+    c_out, fh, fw, cpg = packed_filter.shape
+    if c_in != params.channels_in:
+        raise ValueError(f"input channels {c_in} != params.channels_in "
+                         f"{params.channels_in}")
+    if (params.groups != 1 or params.dilation != (1, 1)
+            or params.stride[0] != params.stride[1]
+            or params.stride[0] not in (1, 2) or c_in % 2):
+        raise ValueError("s2d path requires groups=1, dilation=1, square "
+                         "stride in {1,2}, even channels_in")
+    s = params.stride[0]
+    out_h, out_w, pad_top, pad_left = params.output_spatial(in_h, in_w, fh, fw)
+    k = params.backtransform_add(fh, fw)
+    acc_dtype = jnp.int32 if conv_dtype == jnp.int8 else jnp.float32
+
+    xq = jnp.where(x < 0, -1, 1).astype(conv_dtype)
+    if unpacked_filter is None:
+        w = bitunpack(packed_filter, c_in, dtype=conv_dtype)
+        w = jnp.transpose(w, (1, 2, 3, 0))  # (FH, FW, C, O)
+    else:
+        w = unpacked_filter.astype(conv_dtype)
+    w2, qh, qw, n_phases = _s2d_weights(w, fh, fw, c_in, c_out, s, conv_dtype)
+
+    # Explicit padding in the sign domain: one-padding pads +1, zero-padding
+    # pads the literal 0 (exact — zeros contribute nothing, matching the
+    # even-depth zero-padding semantics). Rows beyond the true SAME extent
+    # (alignment to even cells) are never read by kept outputs.
+    if s == 1:
+        cells_h, cells_w = _cdiv(out_h, 2), _cdiv(out_w, 2)
+    else:
+        cells_h, cells_w = out_h, out_w
+    hp = 2 * (cells_h + qh - 1)
+    wp = 2 * (cells_w + qw - 1)
+    pad_val = 1 if (params.padding == Padding.SAME
+                    and params.pad_value == 1) else 0
+    xq = jnp.pad(
+        xq,
+        ((0, 0), (pad_top, hp - in_h - pad_top),
+         (pad_left, wp - in_w - pad_left), (0, 0)),
+        constant_values=pad_val)
+
+    y = jax.lax.conv_general_dilated(
+        _s2d(xq), w2,
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=acc_dtype,
+    )  # (N, cells_h, cells_w, n_phases * c_out)
+
+    if s == 1:
+        # Inverse space-to-depth of the 2x2 output phases, then crop.
+        y = y.reshape(n, cells_h, cells_w, 2, 2, c_out)
+        y = jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(
+            n, 2 * cells_h, 2 * cells_w, c_out)
+        true_out = y[:, :out_h, :out_w, :]
+    else:
+        true_out = y
 
     return _true_output_transform(true_out, transform, params, k, output_kind)
 

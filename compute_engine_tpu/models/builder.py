@@ -28,9 +28,10 @@ import jax.numpy as jnp
 
 from ..core.bitpack import bitpack_np
 from ..core.params import BConv2DParams
-from ..core.transforms import OutputTransform, fuse_output_transform
+from ..core.transforms import (OutputTransform, compute_output_thresholds,
+                               fuse_output_transform)
 from ..core.types import Activation, Padding
-from ..ops import bconv2d, quantize
+from ..ops import bconv2d, bmaxpool2d, quantize
 from . import layers as L
 
 __all__ = ["InitBuilder", "FloatBuilder", "CalibrateBuilder",
@@ -309,9 +310,18 @@ class ConvertBuilder(_Base):
         w = np.asarray(p["kernel"], np.float32)  # (H, W, I, O)
         w_ohwi = np.transpose(w, (3, 0, 1, 2))
         packed = bitpack_np(w_ohwi)
+        # Packed-domain chaining support: per-channel thresholds require the
+        # filter pre-multiplied by sign(post_mul) (the negative-gamma flip,
+        # `mlir/transforms/optimize.cc:79-127`); padding bits must stay 0, so
+        # the flipped filter is binarised and re-packed rather than the
+        # packed words inverted.
+        flip = np.where(post_mul < 0, -1.0, 1.0).astype(np.float32)
         self.layers[name] = {
             "kind": "bconv",
             "packed_filter": packed,
+            "packed_filter_flipped": bitpack_np(
+                np.where(w_ohwi * flip[:, None, None, None] < 0, -1.0, 1.0)),
+            "thresholds": compute_output_thresholds(post_mul, post_bias, k),
             "multiplier": transform.multiplier,
             "bias": transform.bias,
             "clamp_min": transform.clamp_min,
@@ -333,9 +343,14 @@ class ConvertBuilder(_Base):
         transform = fuse_output_transform(post_mul, post_bias, channels_in)
         w = np.asarray(p["kernel"], np.float32)  # (C, units)
         packed = bitpack_np(np.where(w.T < 0, -1.0, 1.0))  # (units, Cp)
+        flip = np.where(post_mul < 0, -1.0, 1.0).astype(np.float32)
         self.layers[name] = {
             "kind": "bdense",
             "packed_kernel": packed,
+            "packed_kernel_flipped": bitpack_np(
+                np.where(w.T * flip[:, None] < 0, -1.0, 1.0)),
+            "thresholds": compute_output_thresholds(post_mul, post_bias,
+                                                    channels_in),
             "multiplier": transform.multiplier,
             "bias": transform.bias,
             "clamp_min": transform.clamp_min,
@@ -359,17 +374,54 @@ class ConvertBuilder(_Base):
         return L.apply_activation(y, activation)
 
 
+class _BinaryStream:
+    """Lazily materialised output of a binary layer (packed-domain mode).
+
+    The reference's bitpacked-activation optimisation decides statically
+    whether a binary op's output is consumed packed (next op is binary ->
+    write bitpacked via thresholds, `bitpack_activations_patterns.td:20-60`)
+    or dense. Builders trace forward without lookahead, so the decision is
+    made lazily at the *consumer*: a binary layer returns this wrapper, and
+    whichever representation the consumer pulls is the one that executes
+    (memoised — a single consumer computes exactly one conv).
+    """
+
+    def __init__(self, packed_fn, float_fn, channels: int):
+        self._packed_fn, self._float_fn = packed_fn, float_fn
+        self.channels = channels
+        self._packed = self._float = None
+
+    def packed(self):
+        if self._packed is None:
+            self._packed = self._packed_fn()
+        return self._packed
+
+    def to_float(self):
+        if self._float is None:
+            self._float = self._float_fn()
+        return self._float
+
+
 class PackedBuilder(_Base):
     """Packed inference forward over a converted artifact.
 
     ``return_logits`` turns the final softmax into identity — the analogue of
     the reference's output-surgery utilities (`mlir/python/util.py:176-365`)
     that re-expose raw model outputs.
+
+    ``domain="packed"`` chains consecutive binary ops through bitpacked
+    activations (thresholds + sign-flipped filters computed at convert time)
+    and pools in the packed domain — the model-level realisation of the
+    reference's bitpacked-activation graph rewrite
+    (`mlir/transforms/optimize.cc:128-244`,
+    `optimize_patterns_target_arm.td:4-20`). Non-binary consumers pull the
+    float representation instead, so mixed graphs (residual adds, concats)
+    stay exact.
     """
 
     def __init__(self, artifact_layers, kernel="auto",
                  compute_dtype=jnp.bfloat16, return_logits=False,
-                 binary_dtype=jnp.int8):
+                 binary_dtype=jnp.int8, domain="float"):
         self.layers = artifact_layers
         self.kernel = kernel
         self.compute_dtype = compute_dtype
@@ -377,8 +429,60 @@ class PackedBuilder(_Base):
         # Operand dtype for the +-1 MXU convs: bf16 (fp32 accum) or int8
         # (int32 accum, 2x MXU rate) — both exact for +-1 operands.
         self.binary_dtype = binary_dtype
+        if domain not in ("float", "packed"):
+            raise ValueError(f"unknown domain {domain!r}")
+        self.domain = domain
+
+    # -- packed-domain plumbing ---------------------------------------------
+
+    def _f(self, x):
+        """Materialise a float view of a possibly-packed binary stream."""
+        return x.to_float() if isinstance(x, _BinaryStream) else x
+
+    def max_pool(self, x, pool_size, stride=None, padding="SAME"):
+        if isinstance(x, _BinaryStream):
+            # sign is monotonic, so max commutes with it: pooling in the
+            # packed domain (bitwise AND) equals sign(float maxpool). The
+            # reference's Quantize(MaxPool) -> BMaxPool(Quantize) rewrite.
+            ps = _pair(pool_size)
+            st = _pair(stride) if stride is not None else ps
+            pad = Padding.SAME if padding == "SAME" else Padding.VALID
+            return _BinaryStream(
+                lambda: bmaxpool2d(x.packed(), ps, st, pad),
+                lambda: super(PackedBuilder, self).max_pool(
+                    x.to_float(), pool_size, stride, padding),
+                x.channels)
+        return super().max_pool(x, pool_size, stride, padding)
+
+    def flatten(self, x):
+        if isinstance(x, _BinaryStream):
+            if x.channels % 32 == 0:
+                # Packed flatten is exact only when no padding bits would
+                # interleave into the flattened word stream.
+                return _BinaryStream(
+                    lambda: x.packed().reshape(x.packed().shape[0], -1),
+                    lambda: super(PackedBuilder, self).flatten(x.to_float()),
+                    -1)
+            x = x.to_float()
+        return super().flatten(x)
+
+    def avg_pool(self, x, *a, **kw):
+        return super().avg_pool(self._f(x), *a, **kw)
+
+    def global_avg_pool(self, x):
+        return super().global_avg_pool(self._f(x))
+
+    def add(self, a, b):
+        return super().add(self._f(a), self._f(b))
+
+    def concat(self, xs):
+        return super().concat([self._f(x) for x in xs])
+
+    def activation(self, x, kind):
+        return super().activation(self._f(x), kind)
 
     def softmax(self, x):
+        x = self._f(x)
         if self.return_logits:
             return x.astype(jnp.float32)
         return super().softmax(x)
@@ -414,6 +518,7 @@ class PackedBuilder(_Base):
 
     def conv_bn(self, x, filters, ksize, *, stride=1, padding="SAME",
                 activation=None, name):
+        x = self._f(x)
         a = self.layers[name]
         if "kernel_int8" in a:
             y = self._int8_conv(x, a, stride, padding)
@@ -425,6 +530,7 @@ class PackedBuilder(_Base):
 
     def depthwise_conv_bn(self, x, ksize, *, stride=1, activation=None,
                           name):
+        x = self._f(x)
         a = self.layers[name]
         y = L.depthwise_conv2d(x.astype(self.compute_dtype),
                                jnp.asarray(a["kernel"]), _pair(stride))
@@ -433,7 +539,7 @@ class PackedBuilder(_Base):
 
     def binary_conv_bn(self, x, filters, ksize, *, stride=1, padding="SAME",
                        pad_value=1, name):
-        from ..kernels.bconv2d import bconv2d_mxu_float_in
+        from ..kernels.bconv2d import bconv2d_mxu_float_in, bconv2d_mxu_s2d
 
         a = self.layers[name]
         params = BConv2DParams(
@@ -446,17 +552,64 @@ class PackedBuilder(_Base):
         transform = OutputTransform(
             clamp_min=int(a["clamp_min"]), clamp_max=int(a["clamp_max"]),
             multiplier=a["multiplier"], bias=a["bias"])
-        if self.kernel in ("auto", "mxu"):
-            # Activations are float between blocks; sign directly to +-1
-            # bf16 instead of a pack -> unpack round-trip (two full
-            # activation memory passes saved; bit-exact same result).
+        # Packed-domain chaining: when the input is already a binary stream
+        # (or this layer's output may feed a binary consumer), run through
+        # ops.bconv2d on packed operands, emitting bitpacked output via the
+        # convert-time thresholds + sign-flipped filter for binary consumers
+        # and the float transform otherwise.
+        if self.domain == "packed" and "thresholds" in a:
+            pk = "auto" if self.kernel in ("auto", "s2d") else self.kernel
+            if isinstance(x, _BinaryStream):
+                xq_fn = x.packed
+            else:
+                x_float = x
+
+                def xq_fn():
+                    return quantize(x_float)
+
+            def packed_fn():
+                return bconv2d(
+                    xq_fn(), jnp.asarray(a["packed_filter_flipped"]),
+                    OutputTransform(thresholds=np.asarray(a["thresholds"])),
+                    params, output_kind="bitpacked", kernel=pk)
+
+            def float_fn():
+                return self._store(bconv2d(
+                    xq_fn(), jnp.asarray(a["packed_filter"]), transform,
+                    params, output_kind="float", kernel=pk))
+
+            return _BinaryStream(packed_fn, float_fn, filters)
+
+        x = self._f(x)
+        kernel = self.kernel
+        if kernel == "auto":
+            # Per-layer measured dispatch in the float domain (activations
+            # are float between blocks): direct sign->conv, the s2d retile
+            # for lane-underfilled early sections, or pack+Pallas bgemm.
+            from ..kernels.select import select_bconv2d_kernel
+
+            n, in_h, in_w, _ = x.shape
+            kh, kw_ = _pair(ksize)
+            out_h, out_w, _, _ = params.output_spatial(in_h, in_w, kh, kw_)
+            kernel = select_bconv2d_kernel(
+                "float", c_in=params.channels_in, c_out=filters, fh=kh,
+                fw=kw_, m=n * out_h * out_w, out_kind="float",
+                groups=params.groups, dilation=params.dilation,
+                stride=params.stride)
+        if kernel == "s2d":
+            return self._store(bconv2d_mxu_s2d(
+                x, jnp.asarray(a["packed_filter"]), transform, params,
+                output_kind="float", conv_dtype=self.binary_dtype))
+        if kernel == "mxu":
+            # Sign directly to +-1 instead of a pack -> unpack round-trip
+            # (two full activation memory passes saved; bit-exact).
             return self._store(bconv2d_mxu_float_in(
                 x, jnp.asarray(a["packed_filter"]), transform, params,
                 output_kind="float", conv_dtype=self.binary_dtype))
         xq = quantize(x)  # runtime LceQuantize boundary
         return self._store(
             bconv2d(xq, jnp.asarray(a["packed_filter"]), transform, params,
-                    output_kind="float", kernel=self.kernel))
+                    output_kind="float", kernel=kernel))
 
     def binary_dense_bn(self, x, units, *, name):
         from ..kernels.bgemm import bgemm
@@ -465,7 +618,34 @@ class PackedBuilder(_Base):
         a = self.layers[name]
         c_in = int(a["channels_in"])
         k = c_in
-        if self.kernel in ("auto", "mxu"):
+        if self.domain == "packed" and "thresholds" in a:
+            # Chain fc layers through bitpacked activations (BinaryAlexNet's
+            # fc1 -> fc2 is the reference's packed fast path for dense).
+            if isinstance(x, _BinaryStream):
+                xq_fn = x.packed
+            else:
+                x_float = x
+
+                def xq_fn():
+                    return quantize(x_float)
+
+            def packed_fn():
+                return bgemm(xq_fn(),
+                             jnp.asarray(a["packed_kernel_flipped"]).T,
+                             thresholds=jnp.asarray(
+                                 np.asarray(a["thresholds"])),
+                             out_kind="bitpacked")
+
+            def float_fn():
+                return self._store(bgemm(
+                    xq_fn(), jnp.asarray(a["packed_kernel"]).T,
+                    jnp.asarray(a["multiplier"]), jnp.asarray(a["bias"]),
+                    clamp_min=int(a["clamp_min"]),
+                    clamp_max=int(a["clamp_max"]), out_kind="float"))
+
+            return _BinaryStream(packed_fn, float_fn, units)
+        x = self._f(x)
+        if self.kernel in ("auto", "mxu", "s2d"):
             # sign -> +-1 bf16 matmul on the MXU (exact; see
             # bconv2d_mxu_float_in for the rationale).
             acc_dtype = (jnp.int32 if self.binary_dtype == jnp.int8
@@ -490,6 +670,7 @@ class PackedBuilder(_Base):
     def dense(self, x, units, *, use_bias=True, activation=None, name):
         from ..core.types import round_half_away
 
+        x = self._f(x)
         a = self.layers[name]
         if "kernel_int8" in a:
             x_q = jnp.clip(round_half_away(x.astype(jnp.float32)
@@ -548,10 +729,19 @@ def calibrate_model(spec, params, batches):
 
 def packed_apply(spec, artifact_layers, x, kernel="auto",
                  compute_dtype=jnp.bfloat16, return_logits=False,
-                 binary_dtype=jnp.int8):
-    """Packed inference forward."""
-    return spec.forward(
+                 binary_dtype=jnp.int8, domain="float"):
+    """Packed inference forward.
+
+    ``domain="packed"`` chains binary->binary layers through bitpacked
+    activations (see PackedBuilder)."""
+    out = spec.forward(
         PackedBuilder(artifact_layers, kernel=kernel,
                       compute_dtype=compute_dtype,
                       return_logits=return_logits,
-                      binary_dtype=binary_dtype), x)
+                      binary_dtype=binary_dtype, domain=domain), x)
+    # A model ending on a binary layer returns its packed words — the
+    # analogue of strip_lcedequantize raw bitpacked outputs
+    # (`mlir/python/util.py:225-365`).
+    if isinstance(out, _BinaryStream):
+        out = out.packed()
+    return out

@@ -64,13 +64,19 @@ def bconv2d(packed_input, packed_filter, transform: OutputTransform,
         raise ValueError(f"unknown output_kind {output_kind!r}")
 
     if kernel == "auto":
-        # Runtime kernel selection (the analogue of
-        # `core/indirect_bgemm/select_kernel.h:30-142`). Measured on v5e:
-        # the Pallas fused-unpack bgemm wins per-op at small batch on deep
-        # layers (71% vs 47% MXU util at 512ch/batch-8), but XLA's conv path
-        # pipelines better at large batch, so it is the model-level default
-        # until the Pallas kernel gets grid-level K/N pipelining.
-        kernel = "mxu"
+        # Shape-keyed runtime kernel selection — the analogue of
+        # `core/indirect_bgemm/select_kernel.h:30-142`, consulted at trace
+        # time (static shapes) against the measured table in kernels/select.
+        from ..kernels.select import select_bconv2d_kernel
+
+        n, in_h, in_w, _ = packed_input.shape
+        _, fh, fw, _ = packed_filter.shape
+        out_h, out_w, _, _ = params.output_spatial(in_h, in_w, fh, fw)
+        kernel = select_bconv2d_kernel(
+            "packed", c_in=params.channels_in, c_out=packed_filter.shape[0],
+            fh=fh, fw=fw, m=n * out_h * out_w, out_kind=output_kind,
+            groups=params.groups, dilation=params.dilation,
+            stride=params.stride)
     # Profiler labels, like ruy ScopeLabel "BConv2D (optimized/reference)"
     # (`core/bconv2d/optimized_bgemm.h:77`).
     import jax
