@@ -78,21 +78,27 @@ def import_keras_weights(keras_model, spec: ModelSpec):
     ours = params_structure(spec)
     seq = _keras_parametric_layers(keras_model)
 
-    # Group (layer, optional following BN) pairs.
-    grouped = []
-    i = 0
-    while i < len(seq):
-        cls, layer = seq[i]
-        if cls in _BN_CLASSES:
+    # Pair each BatchNormalization with the layer that PRODUCES its input,
+    # via the functional graph (Keras orders `model.layers` topologically by
+    # depth, so parallel branches interleave convs and BNs — sequence
+    # adjacency is not a valid pairing rule).
+    bn_for = {}
+    for cls, layer in seq:
+        if cls not in _BN_CLASSES:
+            continue
+        producer = getattr(layer.input, "_keras_history", None)
+        producer = producer[0] if producer is not None else None
+        if (producer is None
+                or type(producer).__name__ not in
+                (_CONV_CLASSES | _DW_CLASSES | _DENSE_CLASSES)
+                or id(producer) in bn_for):
             raise ValueError(
                 f"unexpected BatchNormalization {layer.name} without a "
-                "preceding conv/dense layer")
-        bn = None
-        if i + 1 < len(seq) and seq[i + 1][0] in _BN_CLASSES:
-            bn = seq[i + 1][1]
-            i += 1
-        grouped.append((cls, layer, bn))
-        i += 1
+                "producing conv/dense layer")
+        bn_for[id(producer)] = layer
+
+    grouped = [(cls, layer, bn_for.get(id(layer)))
+               for cls, layer in seq if cls not in _BN_CLASSES]
 
     our_items = list(ours.items())
     if len(grouped) != len(our_items):
