@@ -31,7 +31,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable
 
-__all__ = ["ModelSpec", "MODELS", "get_model"]
+__all__ = ["ModelSpec", "MODELS", "get_model", "tiny_quicknet"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -213,6 +213,19 @@ def binary_densenet37(b, x):
 def binary_densenet45(b, x):
     return _binary_densenet_forward(
         b, x, layers_per_block=(6, 12, 14, 8), reductions=(2.7, 3.3, 4.0))
+
+
+def tiny_quicknet(section_filters=(32, 64), section_blocks=(1, 1),
+                  num_classes=16, input_size=32):
+    """Reduced-QuickNet ModelSpec factory for tests / dry runs."""
+    def fwd(b, x):
+        return _quicknet_forward(b, x, section_filters=tuple(section_filters),
+                                 section_blocks=tuple(section_blocks),
+                                 num_classes=num_classes)
+    name = (f"tiny_quicknet_{'x'.join(map(str, section_filters))}"
+            f"_{'x'.join(map(str, section_blocks))}")
+    return ModelSpec(name, fwd, input_size=(input_size, input_size),
+                     num_classes=num_classes)
 
 
 MODELS = {

@@ -11,10 +11,11 @@ exercised with simulated sources (tests/test_health.py).
 
 from __future__ import annotations
 
+import os
 import threading
 import time
 
-__all__ = ["HeartbeatMonitor"]
+__all__ = ["HeartbeatMonitor", "ProcessLivenessSource"]
 
 
 class HeartbeatMonitor:
@@ -86,3 +87,51 @@ class HeartbeatMonitor:
     def _loop(self):
         while not self._stop.wait(self._poll):
             self.check_now()
+
+
+class ProcessLivenessSource:
+    """Heartbeat source driven by real OS process liveness.
+
+    Pumps ``monitor.heartbeat(host)`` while the host's worker process is
+    alive; a dead process (exit, crash, kill) stops the pump and the monitor
+    declares the host lost after its timeout — subprocess exit becomes a
+    loss event with no simulation involved.
+
+    Args:
+      monitor: the HeartbeatMonitor to feed.
+      procs: dict host_id -> subprocess.Popen (or bare pid int).
+    """
+
+    def __init__(self, monitor, procs, poll_interval_s=0.1):
+        self._monitor = monitor
+        self._procs = dict(procs)
+        self._poll = poll_interval_s
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    @staticmethod
+    def _alive(proc) -> bool:
+        if hasattr(proc, "poll"):
+            return proc.poll() is None
+        try:
+            os.kill(int(proc), 0)
+            return True
+        except (OSError, ProcessLookupError):
+            return False
+
+    def _loop(self):
+        while not self._stop.wait(self._poll):
+            for host, proc in self._procs.items():
+                if self._alive(proc):
+                    self._monitor.heartbeat(host)
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=2)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
