@@ -5,6 +5,7 @@ from .builder import (  # noqa: F401
     ConvertBuilder,
     FloatBuilder,
     InitBuilder,
+    Int8Tensor,
     PackedBuilder,
     calibrate_model,
     convert_model,
@@ -12,4 +13,4 @@ from .builder import (  # noqa: F401
     init_model,
     packed_apply,
 )
-from .zoo import MODELS, ModelSpec, get_model  # noqa: F401
+from .zoo import MODELS, ModelSpec, get_model, tiny_quicknet  # noqa: F401

@@ -35,8 +35,9 @@ from ..ops import bconv2d, bmaxpool2d, quantize
 from . import layers as L
 
 __all__ = ["InitBuilder", "FloatBuilder", "CalibrateBuilder",
-           "ConvertBuilder", "PackedBuilder", "init_model", "float_apply",
-           "calibrate_model", "convert_model", "packed_apply"]
+           "ConvertBuilder", "PackedBuilder", "Int8Tensor", "init_model",
+           "float_apply", "calibrate_model", "convert_model",
+           "packed_apply"]
 
 
 class _Base:
@@ -210,30 +211,50 @@ class FloatBuilder(_Base):
 
 
 class CalibrateBuilder(FloatBuilder):
-    """Float forward that records per-layer input abs-max ranges.
+    """Float forward that records per-layer input/output abs-max ranges.
 
     The activation-range calibration pass for int8 conversion — the analogue
     of the reference's quantisation statistics (FakeQuant ranges consumed by
     `LCEQuantizePass`, with `experimental_default_int8_range` as fallback,
     `converter.py:94-101`). Run it over a few batches, then pass ``ranges``
-    to ``convert_model(..., int8_ranges=...)``.
+    to ``convert_model(..., int8_ranges=...)``; pass ``out_ranges`` as
+    ``int8_out_ranges=`` to keep int8 tensors flowing *between* consecutive
+    int8 layers (the true-int8 pipeline, `mlir/transforms/quantize.cc:15-42`)
+    instead of rescaling to float after every layer.
     """
 
     def __init__(self, params, ranges=None):
         super().__init__(params)
         self.ranges = ranges if ranges is not None else {}
+        self.out_ranges = {}
+
+    def _record(self, name, x, table):
+        table[name] = max(table.get(name, 0.0), float(jnp.max(jnp.abs(x))))
 
     def conv_bn(self, x, filters, ksize, **kw):
-        self.ranges[kw["name"]] = max(
-            self.ranges.get(kw["name"], 0.0),
-            float(jnp.max(jnp.abs(x))))
-        return super().conv_bn(x, filters, ksize, **kw)
+        self._record(kw["name"], x, self.ranges)
+        y = super().conv_bn(x, filters, ksize, **kw)
+        self._record(kw["name"], y, self.out_ranges)
+        return y
+
+    def depthwise_conv_bn(self, x, ksize, **kw):
+        self._record(kw["name"], x, self.ranges)
+        y = super().depthwise_conv_bn(x, ksize, **kw)
+        self._record(kw["name"], y, self.out_ranges)
+        return y
+
+    def binary_conv_bn(self, x, filters, ksize, **kw):
+        # Only the OUTPUT of a binary conv is quantisable (its input is
+        # 1-bit by definition); an out range enables int8-output bconv.
+        y = super().binary_conv_bn(x, filters, ksize, **kw)
+        self._record(kw["name"], y, self.out_ranges)
+        return y
 
     def dense(self, x, units, **kw):
-        self.ranges[kw["name"]] = max(
-            self.ranges.get(kw["name"], 0.0),
-            float(jnp.max(jnp.abs(x))))
-        return super().dense(x, units, **kw)
+        self._record(kw["name"], x, self.ranges)
+        y = super().dense(x, units, **kw)
+        self._record(kw["name"], y, self.out_ranges)
+        return y
 
 
 class ConvertBuilder(_Base):
@@ -250,23 +271,37 @@ class ConvertBuilder(_Base):
                   (`tflite/kernels/bconv2d.cc:353-389`).
     """
 
-    def __init__(self, params, int8_ranges=None):
+    def __init__(self, params, int8_ranges=None, int8_out_ranges=None):
         self.params = params
         self.layers = {}
         self.int8_ranges = int8_ranges or {}
+        # Output ranges enable the true-int8 pipeline: a layer with an
+        # out_scale REQUANTISES to int8 instead of rescaling to float, so
+        # consecutive int8 layers exchange int8 tensors
+        # (`mlir/transforms/quantize.cc:15-42`).
+        self.int8_out_ranges = int8_out_ranges or {}
 
-    def _maybe_int8(self, name, entry):
-        """Per-output-channel int8 weight quantisation + input scale."""
+    def _maybe_int8(self, name, entry, reduce_axes=None):
+        """Per-channel int8 weight quantisation + input/output scales.
+
+        ``reduce_axes``: kernel axes reduced for the per-channel scale
+        (default: all but the last = per-output-channel; depthwise kernels
+        pass (0, 1, 3) to scale per depth channel).
+        """
         if name not in self.int8_ranges:
             return entry
-        kernel = entry["kernel"]  # (..., O), BN already folded
+        kernel = entry["kernel"]  # BN already folded
+        if reduce_axes is None:
+            reduce_axes = tuple(range(kernel.ndim - 1))
         w_scale = np.maximum(
-            np.max(np.abs(kernel), axis=tuple(range(kernel.ndim - 1))),
+            np.max(np.abs(kernel), axis=reduce_axes, keepdims=True),
             1e-9) / 127.0
         entry["kernel_int8"] = np.clip(
             np.round(kernel / w_scale), -127, 127).astype(np.int8)
-        entry["w_scale"] = w_scale.astype(np.float32)
+        entry["w_scale"] = np.squeeze(w_scale, reduce_axes).astype(np.float32)
         entry["in_scale"] = float(self.int8_ranges[name]) / 127.0
+        if name in self.int8_out_ranges:
+            entry["out_scale"] = float(self.int8_out_ranges[name]) / 127.0
         del entry["kernel"]
         return entry
 
@@ -289,10 +324,10 @@ class ConvertBuilder(_Base):
         p = self.params[name]
         mul, bias = L.fold_batch_norm(p["bn"])
         kernel = np.asarray(p["kernel"], np.float32) * mul.reshape(1, 1, -1, 1)
-        self.layers[name] = {
+        self.layers[name] = self._maybe_int8(name, {
             "kind": "depthwise_conv", "kernel": kernel.astype(np.float32),
             "bias": bias, "stride": _pair(stride), "activation": activation,
-        }
+        }, reduce_axes=(0, 1, 3))
         return L.batch_norm(
             L.depthwise_conv2d(x, jnp.asarray(p["kernel"]), _pair(stride)),
             {k: jnp.asarray(v) for k, v in p["bn"].items()})
@@ -331,6 +366,16 @@ class ConvertBuilder(_Base):
             "padding": padding,
             "pad_value": pad_value,
         }
+        if name in self.int8_out_ranges:
+            # int8-output binary conv: the int8 requantisation is folded
+            # into the per-channel transform (`tflite/kernels/bconv2d.cc:
+            # 369-378`), so the kernel writes int8 directly.
+            out_scale = float(self.int8_out_ranges[name]) / 127.0
+            tr8 = fuse_output_transform(post_mul, post_bias, k,
+                                        output_scale=out_scale)
+            self.layers[name]["int8_multiplier"] = tr8.multiplier
+            self.layers[name]["int8_bias"] = tr8.bias
+            self.layers[name]["out_scale"] = out_scale
         return L.batch_norm(
             _float_binary_conv(x, jnp.asarray(p["kernel"]), _pair(stride),
                                padding, pad_value),
@@ -402,6 +447,26 @@ class _BinaryStream:
         return self._float
 
 
+class Int8Tensor:
+    """An int8 activation tensor with its symmetric scale (zero_point = 0).
+
+    The unit of the true-int8 pipeline: layers converted with an out_scale
+    requantise to int8 and hand this wrapper to the next layer, which
+    consumes the int8 values directly — no float rescale round-trip between
+    consecutive int8 layers (reference analogue:
+    `mlir/transforms/quantize.cc:15-42`, int8 tensors flowing between TFLite
+    int8 kernels). Binary layers read signs straight off the int8 values
+    (bit = v < 0, exact for zero_point 0).
+    """
+
+    def __init__(self, values, scale: float):
+        self.values = values
+        self.scale = float(scale)
+
+    def to_float(self):
+        return self.values.astype(jnp.float32) * self.scale
+
+
 class PackedBuilder(_Base):
     """Packed inference forward over a converted artifact.
 
@@ -436,10 +501,18 @@ class PackedBuilder(_Base):
     # -- packed-domain plumbing ---------------------------------------------
 
     def _f(self, x):
-        """Materialise a float view of a possibly-packed binary stream."""
-        return x.to_float() if isinstance(x, _BinaryStream) else x
+        """Materialise a float view of a wrapped (packed / int8) tensor."""
+        if isinstance(x, (_BinaryStream, Int8Tensor)):
+            return x.to_float()
+        return x
 
     def max_pool(self, x, pool_size, stride=None, padding="SAME"):
+        if isinstance(x, Int8Tensor):
+            # max commutes with the positive scale: pool in the int8 domain.
+            ps = _pair(pool_size)
+            st = _pair(stride) if stride is not None else ps
+            return Int8Tensor(L.max_pool(x.values, ps, st, padding),
+                              x.scale)
         if isinstance(x, _BinaryStream):
             # sign is monotonic, so max commutes with it: pooling in the
             # packed domain (bitwise AND) equals sign(float maxpool). The
@@ -455,6 +528,9 @@ class PackedBuilder(_Base):
         return super().max_pool(x, pool_size, stride, padding)
 
     def flatten(self, x):
+        if isinstance(x, Int8Tensor):
+            return Int8Tensor(x.values.reshape(x.values.shape[0], -1),
+                              x.scale)
         if isinstance(x, _BinaryStream):
             if x.channels % 32 == 0:
                 # Packed flatten is exact only when no padding bits would
@@ -497,41 +573,79 @@ class PackedBuilder(_Base):
         """
         return y.astype(self.compute_dtype)
 
-    def _int8_conv(self, x, a, stride, padding):
-        """int8 x int8 -> int32 conv on the MXU, then rescale.
+    def _int8_in(self, x, a):
+        """int8 input values + their scale, quantising floats on entry.
 
-        The int8 execution path for non-binary layers (reference int8
-        models run these as TFLite int8 kernels).
-        """
+        An Int8Tensor input is consumed directly at the PRODUCER's scale —
+        the true-int8 pipeline has no float round-trip between layers."""
         from ..core.types import round_half_away
 
+        if isinstance(x, Int8Tensor):
+            return x.values, x.scale
+        x = self._f(x)
         x_q = jnp.clip(round_half_away(x.astype(jnp.float32)
                                        / a["in_scale"]),
                        -127, 127).astype(jnp.int8)
-        acc = jax.lax.conv_general_dilated(
-            x_q, jnp.asarray(a["kernel_int8"]),
-            window_strides=_pair(stride), padding=padding,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.int32)
-        scale = jnp.asarray(a["w_scale"]) * a["in_scale"]
-        return acc.astype(jnp.float32) * scale
+        return x_q, a["in_scale"]
+
+    def _int8_out(self, acc, scale, a, activation, store=True):
+        """Rescale an int32 accumulator: to an Int8Tensor when the layer has
+        an out_scale (requantise, activation applied in the quantised
+        domain), else to float."""
+        from ..core.types import round_half_away
+
+        bias = jnp.asarray(a["bias"]) if a.get("bias") is not None else 0.0
+        if "out_scale" in a:
+            out_s = a["out_scale"]
+            y = acc.astype(jnp.float32) * (scale / out_s) + bias / out_s
+            if activation == "relu":
+                y = jnp.maximum(y, 0.0)
+            elif activation == "relu6":
+                y = jnp.clip(y, 0.0, 6.0 / out_s)
+            elif activation is not None:
+                raise ValueError(
+                    f"unsupported activation {activation!r} on an "
+                    "int8-output layer")
+            y_q = jnp.clip(round_half_away(y), -127, 127).astype(jnp.int8)
+            return Int8Tensor(y_q, out_s)
+        y = acc.astype(jnp.float32) * scale + bias
+        y = L.apply_activation(y, activation)
+        return self._store(y) if store else y
 
     def conv_bn(self, x, filters, ksize, *, stride=1, padding="SAME",
                 activation=None, name):
-        x = self._f(x)
         a = self.layers[name]
         if "kernel_int8" in a:
-            y = self._int8_conv(x, a, stride, padding)
-        else:
-            y = L.conv2d(x.astype(self.compute_dtype),
-                         jnp.asarray(a["kernel"]), _pair(stride), padding)
+            x_q, in_s = self._int8_in(x, a)
+            acc = jax.lax.conv_general_dilated(
+                x_q, jnp.asarray(a["kernel_int8"]),
+                window_strides=_pair(stride), padding=padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            return self._int8_out(acc, jnp.asarray(a["w_scale"]) * in_s,
+                                  a, activation)
+        x = self._f(x)
+        y = L.conv2d(x.astype(self.compute_dtype),
+                     jnp.asarray(a["kernel"]), _pair(stride), padding)
         y = y.astype(jnp.float32) + jnp.asarray(a["bias"])
         return self._store(L.apply_activation(y, activation))
 
     def depthwise_conv_bn(self, x, ksize, *, stride=1, activation=None,
                           name):
-        x = self._f(x)
         a = self.layers[name]
+        if "kernel_int8" in a:
+            x_q, in_s = self._int8_in(x, a)
+            k = jnp.asarray(a["kernel_int8"])  # (H, W, C, 1)
+            c = x_q.shape[-1]
+            acc = jax.lax.conv_general_dilated(
+                x_q, k.reshape(*k.shape[:2], 1, c),
+                window_strides=_pair(stride), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=c,
+                preferred_element_type=jnp.int32)
+            return self._int8_out(acc, jnp.asarray(a["w_scale"]) * in_s,
+                                  a, activation)
+        x = self._f(x)
         y = L.depthwise_conv2d(x.astype(self.compute_dtype),
                                jnp.asarray(a["kernel"]), _pair(stride))
         y = y.astype(jnp.float32) + jnp.asarray(a["bias"])
@@ -541,6 +655,10 @@ class PackedBuilder(_Base):
                        pad_value=1, name):
         from ..kernels.bconv2d import bconv2d_mxu_float_in, bconv2d_mxu_s2d
 
+        if isinstance(x, Int8Tensor):
+            # Signs read straight off the int8 values (bit = v < 0, exact
+            # for zero_point 0) — no dequantisation pass.
+            x = x.values
         a = self.layers[name]
         params = BConv2DParams(
             channels_in=int(a["channels_in"]),
@@ -596,25 +714,43 @@ class PackedBuilder(_Base):
                 fw=kw_, m=n * out_h * out_w, out_kind="float",
                 groups=params.groups, dilation=params.dilation,
                 stride=params.stride)
+        # int8-output binary conv (`tflite/kernels/bconv2d.cc:369-378`): the
+        # requantisation is folded into the transform, the kernel's fused
+        # int8 epilogue writes int8 directly, and the result flows on as an
+        # Int8Tensor.
+        out_kind = "float"
+        if "out_scale" in a:
+            transform = OutputTransform(
+                clamp_min=int(a["clamp_min"]), clamp_max=int(a["clamp_max"]),
+                multiplier=a["int8_multiplier"], bias=a["int8_bias"])
+            out_kind = "int8"
+
+        def wrap(y):
+            if out_kind == "int8":
+                return Int8Tensor(y, a["out_scale"])
+            return self._store(y)
+
         if kernel == "s2d":
-            return self._store(bconv2d_mxu_s2d(
+            return wrap(bconv2d_mxu_s2d(
                 x, jnp.asarray(a["packed_filter"]), transform, params,
-                output_kind="float", conv_dtype=self.binary_dtype))
+                output_kind=out_kind, conv_dtype=self.binary_dtype))
         if kernel == "mxu":
             # Sign directly to +-1 instead of a pack -> unpack round-trip
             # (two full activation memory passes saved; bit-exact).
-            return self._store(bconv2d_mxu_float_in(
+            return wrap(bconv2d_mxu_float_in(
                 x, jnp.asarray(a["packed_filter"]), transform, params,
-                output_kind="float", conv_dtype=self.binary_dtype))
+                output_kind=out_kind, conv_dtype=self.binary_dtype))
         xq = quantize(x)  # runtime LceQuantize boundary
-        return self._store(
+        return wrap(
             bconv2d(xq, jnp.asarray(a["packed_filter"]), transform, params,
-                    output_kind="float", kernel=kernel))
+                    output_kind=out_kind, kernel=kernel))
 
     def binary_dense_bn(self, x, units, *, name):
         from ..kernels.bgemm import bgemm
         from ..core.bitpack import bitunpack
 
+        if isinstance(x, Int8Tensor):
+            x = x.values  # sign(v < 0) is exact at zero_point 0
         a = self.layers[name]
         c_in = int(a["channels_in"])
         k = c_in
@@ -668,23 +804,17 @@ class PackedBuilder(_Base):
                   clamp_max=int(a["clamp_max"]), out_kind="float"))
 
     def dense(self, x, units, *, use_bias=True, activation=None, name):
-        from ..core.types import round_half_away
-
-        x = self._f(x)
         a = self.layers[name]
         if "kernel_int8" in a:
-            x_q = jnp.clip(round_half_away(x.astype(jnp.float32)
-                                           / a["in_scale"]),
-                           -127, 127).astype(jnp.int8)
+            x_q, in_s = self._int8_in(x, a)
             acc = jax.lax.dot_general(
                 x_q, jnp.asarray(a["kernel_int8"]),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
-            y = acc.astype(jnp.float32) * (jnp.asarray(a["w_scale"])
-                                           * a["in_scale"])
-        else:
-            y = L.dense(x.astype(self.compute_dtype),
-                        jnp.asarray(a["kernel"]))
+            return self._int8_out(acc, jnp.asarray(a["w_scale"]) * in_s,
+                                  a, activation, store=False)
+        x = self._f(x)
+        y = L.dense(x.astype(self.compute_dtype), jnp.asarray(a["kernel"]))
         if a["bias"] is not None:
             y = y + jnp.asarray(a["bias"])
         return L.apply_activation(y, activation)
@@ -708,22 +838,31 @@ def float_apply(spec, params, x):
     return spec.forward(FloatBuilder(params), x)
 
 
-def convert_model(spec, params, int8_ranges=None):
+def convert_model(spec, params, int8_ranges=None, int8_out_ranges=None):
     """Float params -> packed artifact layer dict (the converter).
 
     ``int8_ranges`` (from :func:`calibrate_model`) additionally quantises the
-    listed non-binary layers to int8 weights + activation scales."""
-    b = ConvertBuilder(params, int8_ranges=int8_ranges)
+    listed non-binary layers to int8 weights + activation scales;
+    ``int8_out_ranges`` makes those layers (and listed binary convs) EMIT
+    int8 tensors, so consecutive int8 layers exchange int8 directly (the
+    true-int8 pipeline)."""
+    b = ConvertBuilder(params, int8_ranges=int8_ranges,
+                       int8_out_ranges=int8_out_ranges)
     x = jax.ShapeDtypeStruct((1, *spec.input_size, 3), jnp.float32)
     jax.eval_shape(lambda t: spec.forward(b, t), x)
     return b.layers
 
 
-def calibrate_model(spec, params, batches):
-    """Record per-layer activation abs-max ranges over calibration batches."""
+def calibrate_model(spec, params, batches, with_outputs=False):
+    """Record per-layer activation abs-max ranges over calibration batches.
+
+    Returns the input-range dict; with ``with_outputs=True`` returns
+    ``(in_ranges, out_ranges)`` for the true-int8 pipeline."""
     b = CalibrateBuilder(params)
     for x in batches:
         spec.forward(b, jnp.asarray(x, jnp.float32))
+    if with_outputs:
+        return b.ranges, b.out_ranges
     return b.ranges
 
 
@@ -741,7 +880,9 @@ def packed_apply(spec, artifact_layers, x, kernel="auto",
                       binary_dtype=binary_dtype, domain=domain), x)
     # A model ending on a binary layer returns its packed words — the
     # analogue of strip_lcedequantize raw bitpacked outputs
-    # (`mlir/python/util.py:225-365`).
+    # (`mlir/python/util.py:225-365`). An int8 tail dequantises to float.
     if isinstance(out, _BinaryStream):
         out = out.packed()
+    elif isinstance(out, Int8Tensor):
+        out = out.to_float()
     return out
