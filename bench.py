@@ -19,8 +19,11 @@ import sys
 def main():
     from compute_engine_tpu.runtime.benchmark import benchmark_model
 
-    result = benchmark_model(model="quicknet", batch=128, iters=10,
-                             warmup=1, repeats=3, kernel="auto")
+    # iters=20/repeats=5: the tunnel adds ±8% run-to-run variance at
+    # iters=10 (observed 40.4k-47.5k img/s across round-1/2 runs); longer
+    # chains + median-of-5 tighten the differencing estimate.
+    result = benchmark_model(model="quicknet", batch=128, iters=20,
+                             warmup=1, repeats=5, kernel="auto")
     print(json.dumps({
         "metric": "quicknet_images_per_sec_per_chip",
         "value": result["images_per_sec"],

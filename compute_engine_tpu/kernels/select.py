@@ -78,20 +78,24 @@ def save_table(path: str) -> None:
 
 def _heuristic(domain: str, c_in: int, c_out: int, fhw: int, m: int,
                out_kind: str) -> str:
-    """Shape heuristic distilled from the measured table.
+    """Shape heuristic distilled from measurements (TPU v5e, axon tunnel).
 
-    Measured regularities (v5e-class chip):
+    Measured regularities:
       * float input: the direct sign->conv int8 MXU path wins at every
-        measured zoo shape with c_in >= 128; below 128 lanes the s2d retile
-        wins (~1.9x at 56x56x64, batch 128) whenever its constraints hold.
-      * packed input: the MXU unpack+conv path wins at large M; the Pallas
-        bgemm wins when the output is bitpacked (fused in-kernel threshold +
-        lane packing avoids a full int32 accumulator round-trip) and on deep
-        small-M GEMMs (fc layers) where conv-path unpack dominates.
+        measured zoo shape and batch (8 and 128). The s2d retile raises
+        MXU lane occupancy at c_in < 128 but LOSES end to end — its extra
+        full-tensor passes (pad + space-to-depth + inverse) dominate on the
+        HBM-bound early sections (QuickNet batch 128: 42.3k img/s direct vs
+        20.7k with s2d on the 64/128 sections), so it is never the default;
+        it remains selectable explicitly or via a measured table entry.
+      * packed input: the MXU unpack+conv path wins at large M (b=8 zoo
+        shapes: 25-66us vs 15-260us bgemm); the Pallas bgemm wins when the
+        output is bitpacked (fused in-kernel threshold + lane packing avoids
+        a full int32 accumulator round-trip) and on deep small-M GEMMs
+        (fc shapes), where the conv path would unpack the whole weight
+        matrix to compute a handful of rows.
     """
     if domain == "float":
-        if c_in < 128 and fhw > 1:
-            return "s2d"
         return "mxu"
     # packed domain
     if out_kind == "bitpacked":

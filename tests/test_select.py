@@ -1,0 +1,70 @@
+"""Kernel-selection table + heuristic behaviour (`kernels/select.py`)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from compute_engine_tpu.kernels import select
+from compute_engine_tpu.kernels.select import (kernel_table, reset_table,
+                                               select_bconv2d_kernel)
+
+
+@pytest.fixture(autouse=True)
+def _clean_table():
+    reset_table()
+    yield
+    reset_table()
+
+
+def test_heuristic_defaults():
+    # float domain: direct sign->conv wins at every measured zoo shape.
+    assert select_bconv2d_kernel("float", c_in=64, c_out=64, fh=3, fw=3,
+                                 m=128 * 56 * 56) == "mxu"
+    # packed domain: bitpacked output routes to the fused Pallas epilogue.
+    assert select_bconv2d_kernel("packed", c_in=384, c_out=384, fh=3, fw=3,
+                                 m=8 * 13 * 13,
+                                 out_kind="bitpacked") == "bgemm"
+    # deep small-M GEMM (fc shape) routes to bgemm (conv path would unpack
+    # the whole weight matrix).
+    assert select_bconv2d_kernel("packed", c_in=9216, c_out=4096, fh=1,
+                                 fw=1, m=64) == "bgemm"
+    # large-M packed float output: XLA conv path.
+    assert select_bconv2d_kernel("packed", c_in=256, c_out=256, fh=3, fw=3,
+                                 m=128 * 14 * 14) == "mxu"
+
+
+def test_measured_table_overrides_heuristic():
+    key = ("float", 64, 64, 9, select._m_bucket(128 * 56 * 56), "float")
+    kernel_table()[key] = "s2d"
+    assert select_bconv2d_kernel("float", c_in=64, c_out=64, fh=3, fw=3,
+                                 m=128 * 56 * 56) == "s2d"
+    # ...but constraint-violating shapes still fall back.
+    assert select_bconv2d_kernel("float", c_in=64, c_out=64, fh=3, fw=3,
+                                 m=128 * 56 * 56, groups=2) == "mxu"
+
+
+def test_table_roundtrip(tmp_path):
+    from compute_engine_tpu.kernels.select import load_table, save_table
+
+    key = ("packed", 128, 128, 9, 17, "float")
+    kernel_table()[key] = "bgemm"
+    path = str(tmp_path / "table.json")
+    save_table(path)
+    reset_table()
+    assert key not in kernel_table()
+    load_table(path)
+    assert kernel_table()[key] == "bgemm"
+
+
+def test_autotune_records_winners(rng, monkeypatch):
+    """autotune measures each candidate and records per-shape winners."""
+    times = iter([3.0, 1.0, 5.0, 6.0, 7.0])  # packed mxu fastest
+
+    monkeypatch.setattr("compute_engine_tpu.runtime.microbench.time_fn",
+                        lambda fn, args, iters=100, repeats=3:
+                        next(times))
+    res = select.autotune_bconv2d([(8, 8, 64, 32, 3)], batch=2, iters=1)
+    per = res[(8, 8, 64, 32, 3)]
+    assert set(d for d, _ in per) == {"packed", "float"}
+    key = ("packed", 64, 32, 9, select._m_bucket(2 * 8 * 8), "float")
+    assert kernel_table()[key] == "mxu"
