@@ -9,4 +9,5 @@ registration flags (`tflite/kernels/lce_ops_register.h:25-53`).
 
 from .bconv2d import bconv2d  # noqa: F401
 from .bmaxpool import bmaxpool2d  # noqa: F401
+from .detection import detection_postprocess  # noqa: F401
 from .quantize import dequantize, quantize  # noqa: F401
