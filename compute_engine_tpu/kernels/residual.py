@@ -110,7 +110,7 @@ def _block_kernel(x_ref, w_ref, mul_ref, bias_ref, out_ref, *, nb, h, w, c,
 
 
 def binary_residual_block(x, packed_filter, transform: OutputTransform,
-                          params: BConv2DParams, interpret: bool = False):
+                          params: BConv2DParams, interpret=None):
     """``x + float_transform(bconv3x3_onepad(sign(x)))`` in one kernel.
 
     Args:
@@ -123,6 +123,9 @@ def binary_residual_block(x, packed_filter, transform: OutputTransform,
     ``x + store(bconv2d_mxu_float_in(x, ...))`` with an exact integer conv
     and at most one FMA rounding in the float epilogue (see module doc).
     """
+    if interpret is None:
+        # CPU test meshes run the kernel interpreted (same policy as bgemm).
+        interpret = jax.default_backend() != "tpu"
     n, h, w, c = x.shape
     c_out, fh, fw, _ = packed_filter.shape
     if not residual_block_supported(x.shape, params, c_out, fh, fw):

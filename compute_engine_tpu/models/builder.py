@@ -467,6 +467,45 @@ class Int8Tensor:
         return self.values.astype(jnp.float32) * self.scale
 
 
+class _DeferredBConv:
+    """A float-output binary conv whose execution waits for its consumer.
+
+    The zoo's hot loop is ``x = add(x, binary_conv_bn(x, ...))``. When the
+    consumer turns out to be that residual add, the whole block runs as ONE
+    Pallas kernel (`kernels/residual.binary_residual_block`) — sign, conv,
+    output transform and add in a single VMEM residency, cutting the
+    HBM-bound early sections from ~4 activation passes to the 2-pass floor.
+    This is the builder-level analogue of the reference's graph-fusion
+    passes (`mlir/transforms/optimize.cc:52-126` fuses BN/activations into
+    the conv; the residual add has no reference fusion — it is the
+    TPU-specific extension). Any other consumer calls ``materialize()``,
+    which falls back to the normal per-op path.
+    """
+
+    def __init__(self, x, packed_filter, transform, params, unfused_fn):
+        self.x = x
+        self.packed_filter = packed_filter
+        self.transform = transform
+        self.params = params
+        self._unfused_fn = unfused_fn
+        self._value = None
+
+    def materialize(self):
+        if self._value is None:
+            self._value = self._unfused_fn()
+        return self._value
+
+    def fuses_with(self, other):
+        """True when ``add(other, self)`` is this conv's own residual add."""
+        return other is self.x and self._value is None
+
+    def fused_add(self):
+        from ..kernels.residual import binary_residual_block
+
+        return binary_residual_block(self.x, self.packed_filter,
+                                     self.transform, self.params)
+
+
 class PackedBuilder(_Base):
     """Packed inference forward over a converted artifact.
 
@@ -502,6 +541,8 @@ class PackedBuilder(_Base):
 
     def _f(self, x):
         """Materialise a float view of a wrapped (packed / int8) tensor."""
+        if isinstance(x, _DeferredBConv):
+            return x.materialize()
         if isinstance(x, (_BinaryStream, Int8Tensor)):
             return x.to_float()
         return x
@@ -549,6 +590,9 @@ class PackedBuilder(_Base):
         return super().global_avg_pool(self._f(x))
 
     def add(self, a, b):
+        for u, v in ((a, b), (b, a)):
+            if isinstance(v, _DeferredBConv) and v.fuses_with(u):
+                return v.fused_add()
         return super().add(self._f(a), self._f(b))
 
     def concat(self, xs):
@@ -699,21 +743,6 @@ class PackedBuilder(_Base):
             return _BinaryStream(packed_fn, float_fn, filters)
 
         x = self._f(x)
-        kernel = self.kernel
-        if kernel == "auto":
-            # Per-layer measured dispatch in the float domain (activations
-            # are float between blocks): direct sign->conv, the s2d retile
-            # for lane-underfilled early sections, or pack+Pallas bgemm.
-            from ..kernels.select import select_bconv2d_kernel
-
-            n, in_h, in_w, _ = x.shape
-            kh, kw_ = _pair(ksize)
-            out_h, out_w, _, _ = params.output_spatial(in_h, in_w, kh, kw_)
-            kernel = select_bconv2d_kernel(
-                "float", c_in=params.channels_in, c_out=filters, fh=kh,
-                fw=kw_, m=n * out_h * out_w, out_kind="float",
-                groups=params.groups, dilation=params.dilation,
-                stride=params.stride)
         # int8-output binary conv (`tflite/kernels/bconv2d.cc:369-378`): the
         # requantisation is folded into the transform, the kernel's fused
         # int8 epilogue writes int8 directly, and the result flows on as an
@@ -725,25 +754,56 @@ class PackedBuilder(_Base):
                 multiplier=a["int8_multiplier"], bias=a["int8_bias"])
             out_kind = "int8"
 
-        def wrap(y):
+        def run():
+            kernel = self.kernel
+            if kernel in ("auto", "residual"):
+                # Per-layer measured dispatch in the float domain
+                # (activations are float between blocks): direct sign->conv,
+                # the s2d retile for lane-underfilled early sections, or
+                # pack+Pallas bgemm.
+                from ..kernels.select import select_bconv2d_kernel
+
+                n, in_h, in_w, _ = x.shape
+                kh, kw_ = _pair(ksize)
+                out_h, out_w, _, _ = params.output_spatial(
+                    in_h, in_w, kh, kw_)
+                kernel = select_bconv2d_kernel(
+                    "float", c_in=params.channels_in, c_out=filters, fh=kh,
+                    fw=kw_, m=n * out_h * out_w, out_kind="float",
+                    groups=params.groups, dilation=params.dilation,
+                    stride=params.stride)
+            if kernel == "s2d":
+                y = bconv2d_mxu_s2d(
+                    x, jnp.asarray(a["packed_filter"]), transform, params,
+                    output_kind=out_kind, conv_dtype=self.binary_dtype)
+            elif kernel == "mxu":
+                # Sign directly to +-1 instead of a pack -> unpack
+                # round-trip (two full activation memory passes saved;
+                # bit-exact).
+                y = bconv2d_mxu_float_in(
+                    x, jnp.asarray(a["packed_filter"]), transform, params,
+                    output_kind=out_kind, conv_dtype=self.binary_dtype)
+            else:
+                xq = quantize(x)  # runtime LceQuantize boundary
+                y = bconv2d(xq, jnp.asarray(a["packed_filter"]), transform,
+                            params, output_kind=out_kind, kernel=kernel)
             if out_kind == "int8":
                 return Int8Tensor(y, a["out_scale"])
             return self._store(y)
 
-        if kernel == "s2d":
-            return wrap(bconv2d_mxu_s2d(
-                x, jnp.asarray(a["packed_filter"]), transform, params,
-                output_kind=out_kind, conv_dtype=self.binary_dtype))
-        if kernel == "mxu":
-            # Sign directly to +-1 instead of a pack -> unpack round-trip
-            # (two full activation memory passes saved; bit-exact).
-            return wrap(bconv2d_mxu_float_in(
-                x, jnp.asarray(a["packed_filter"]), transform, params,
-                output_kind=out_kind, conv_dtype=self.binary_dtype))
-        xq = quantize(x)  # runtime LceQuantize boundary
-        return wrap(
-            bconv2d(xq, jnp.asarray(a["packed_filter"]), transform, params,
-                    output_kind=out_kind, kernel=kernel))
+        # Residual-add fusion: defer the conv so that add(x, conv(x)) can
+        # run the whole block in one Pallas kernel (kernels/residual.py).
+        if (out_kind == "float" and self.kernel in ("auto", "residual")
+                and not isinstance(x, Int8Tensor) and hasattr(x, "ndim")
+                and x.ndim == 4):
+            from ..kernels.residual import residual_block_supported
+
+            kh, kw_ = _pair(ksize)
+            if residual_block_supported(x.shape, params, filters, kh, kw_):
+                return _DeferredBConv(
+                    x, jnp.asarray(a["packed_filter"]), transform, params,
+                    run)
+        return run()
 
     def binary_dense_bn(self, x, units, *, name):
         from ..kernels.bgemm import bgemm
