@@ -81,7 +81,11 @@ def residual_block_supported(x_shape, params: BConv2DParams, c_out: int,
 def _block_kernel(x_ref, w_ref, mul_ref, bias_ref, out_ref, *, nb, h, w, c,
                   c_out, k, clamp_min, clamp_max, concat_k):
     xb = x_ref[:]  # (nb, H, W, C) compute dtype
-    xs = jnp.where(xb < 0, -1, 1).astype(jnp.int8)
+    # Sign on a 2D-collapsed view: a 4D bf16 compare produces a 4D i1
+    # vector Mosaic cannot relayout ("Invalid relayout ... vector<...xi1>");
+    # collapsing to (rows, lanes) keeps the mask in a supported layout.
+    x2 = xb.reshape(nb * h * w, c).astype(jnp.float32)
+    xs = jnp.where(x2 < 0, -1, 1).astype(jnp.int8).reshape(nb, h, w, c)
     # One-padding applied literally: +1 border in the sign domain.
     xp = jnp.pad(xs, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=1)
     m = nb * h * w

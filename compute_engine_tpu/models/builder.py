@@ -489,10 +489,17 @@ class _DeferredBConv:
         self.params = params
         self._unfused_fn = unfused_fn
         self._value = None
+        self._fused = None
 
     def materialize(self):
         if self._value is None:
-            self._value = self._unfused_fn()
+            if self._fused is not None:
+                # The conv already ran inside the fused residual kernel;
+                # recover conv(x) = fused - x rather than running a second
+                # conv that could differ by an FMA rounding.
+                self._value = self._fused - self.x.astype(self._fused.dtype)
+            else:
+                self._value = self._unfused_fn()
         return self._value
 
     def fuses_with(self, other):
@@ -502,8 +509,10 @@ class _DeferredBConv:
     def fused_add(self):
         from ..kernels.residual import binary_residual_block
 
-        return binary_residual_block(self.x, self.packed_filter,
-                                     self.transform, self.params)
+        if self._fused is None:
+            self._fused = binary_residual_block(
+                self.x, self.packed_filter, self.transform, self.params)
+        return self._fused
 
 
 class PackedBuilder(_Base):
@@ -548,6 +557,8 @@ class PackedBuilder(_Base):
         return x
 
     def max_pool(self, x, pool_size, stride=None, padding="SAME"):
+        if isinstance(x, _DeferredBConv):
+            x = x.materialize()
         if isinstance(x, Int8Tensor):
             # max commutes with the positive scale: pool in the int8 domain.
             ps = _pair(pool_size)
@@ -569,6 +580,8 @@ class PackedBuilder(_Base):
         return super().max_pool(x, pool_size, stride, padding)
 
     def flatten(self, x):
+        if isinstance(x, _DeferredBConv):
+            x = x.materialize()
         if isinstance(x, Int8Tensor):
             return Int8Tensor(x.values.reshape(x.values.shape[0], -1),
                               x.scale)
@@ -720,7 +733,10 @@ class PackedBuilder(_Base):
         # convert-time thresholds + sign-flipped filter for binary consumers
         # and the float transform otherwise.
         if self.domain == "packed" and "thresholds" in a:
-            pk = "auto" if self.kernel in ("auto", "s2d") else self.kernel
+            # "residual"/"mxu"-family names are float-domain lowerings; in
+            # the packed domain they mean "let selection decide".
+            pk = ("auto" if self.kernel in ("auto", "s2d", "residual")
+                  else self.kernel)
             if isinstance(x, _BinaryStream):
                 xq_fn = x.packed
             else:
@@ -841,7 +857,7 @@ class PackedBuilder(_Base):
 
             return _BinaryStream(packed_fn, float_fn, units)
         x = self._f(x)
-        if self.kernel in ("auto", "mxu", "s2d"):
+        if self.kernel in ("auto", "mxu", "s2d", "residual"):
             # sign -> +-1 bf16 matmul on the MXU (exact; see
             # bconv2d_mxu_float_in for the rationale).
             acc_dtype = (jnp.int32 if self.binary_dtype == jnp.int8
@@ -945,4 +961,6 @@ def packed_apply(spec, artifact_layers, x, kernel="auto",
         out = out.packed()
     elif isinstance(out, Int8Tensor):
         out = out.to_float()
+    elif isinstance(out, _DeferredBConv):
+        out = out.materialize()
     return out

@@ -35,7 +35,7 @@ def _check_packed_matches_float(spec, x, atol=1e-2):
     params = init_model(spec, seed=1, randomize_bn=True)
     want = np.asarray(float_apply(spec, params, jnp.asarray(x)))
     layers = convert_model(spec, params)
-    for kernel in ("mxu", "bgemm"):
+    for kernel in ("auto", "mxu", "bgemm"):
         got = np.asarray(packed_apply(spec, layers, jnp.asarray(x),
                                       kernel=kernel,
                                       compute_dtype=jnp.float32))
