@@ -14,4 +14,5 @@ convert_saved_model):
 """
 
 from ..models.builder import convert_model as convert  # noqa: F401
-from .artifact import load_artifact, save_artifact  # noqa: F401
+from .artifact import (load_artifact, merge_arrays,  # noqa: F401
+                       save_artifact, split_arrays)

@@ -15,7 +15,7 @@ import zipfile
 
 import numpy as np
 
-__all__ = ["save_artifact", "load_artifact"]
+__all__ = ["save_artifact", "load_artifact", "split_arrays", "merge_arrays"]
 
 _HEADER_KEY = "__header__"
 
@@ -62,3 +62,40 @@ def load_artifact(path):
         lname, pname = key.rsplit("/", 1)
         layers.setdefault(lname, {})[pname] = data[key]
     return header["model"], header["config"], layers
+
+
+def split_arrays(layers):
+    """Split an artifact into (static_meta, array_tree).
+
+    The array tree (every non-scalar tensor: packed filters, transforms,
+    float kernels) is what a runtime passes to ``jax.jit`` as an ARGUMENT, so
+    weights are program inputs rather than baked-in constants — XLA cannot
+    constant-fold a bit-unpacked filter into the executable, which would
+    silently forfeit the 32x packed-weight HBM compression (the analogue of
+    the reference keeping weights in the flatbuffer and caching the packed
+    form at runtime, `core/bconv2d/optimized_bgemm.h:133-134`). Scalars and
+    config stay static (they parameterise the traced program).
+
+    Use ``merge_arrays(static, arrays)`` inside the jitted function to
+    reconstitute the layer dict with traced arrays.
+    """
+    static, arrays = {}, {}
+    for lname, entry in layers.items():
+        s, arr = {}, {}
+        for k, v in entry.items():
+            if getattr(v, "ndim", 0) > 0:
+                arr[k] = v
+            else:
+                s[k] = v
+        static[lname] = s
+        if arr:
+            arrays[lname] = arr
+    return static, arrays
+
+
+def merge_arrays(static, arrays):
+    """Inverse of :func:`split_arrays` (works on traced arrays)."""
+    merged = {lname: dict(entry) for lname, entry in static.items()}
+    for lname, arr in arrays.items():
+        merged.setdefault(lname, {}).update(arr)
+    return merged

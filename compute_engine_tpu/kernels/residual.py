@@ -1,18 +1,21 @@
 """Fused binary residual block: sign + 3x3 one-padded bconv + BN + add.
 
-The QuickNet-family hot loop is ``x = x + BN(bconv3x3(sign(x)))``. Executed
-as separate ops (the reference's structure — conv in
-`core/bconv2d/optimized_bgemm.h`, transform in
-`core/bconv2d/output_transform.h:100-106`, the add left to the graph), the
-chain moves every activation through HBM four times per block: read x for
-the sign cast, write/read the +-1 conv operand, write/read the conv
-accumulator, read x again for the residual. On TPU the early
-high-resolution sections are bound by exactly this traffic (see
-BENCHMARKS.md), so this kernel performs the whole block in one VMEM
-residency: read the x tile once, sign it in-register, build the one-padded
-tap matrix in VMEM, run the 3x3 conv as int8 MXU matmuls, apply the output
-transform, and add the residual before the single output write — HBM
-traffic drops from ~4 passes to the 2-pass floor (read x, write out).
+The QuickNet-family hot loop is ``x = x + BN(bconv3x3(sign(x)))``. This
+kernel performs the whole block in one VMEM residency: read the x tile
+once, sign it in-register, build the one-padded tap matrix in VMEM, run the
+3x3 conv as int8 MXU matmuls, apply the output transform, and add the
+residual before the single output write.
+
+**Status: explicit opt-in (``kernel="residual"``), NOT auto-selected.**
+Round-3 measurement (honest differencing timer, v5e, batch 128) showed the
+hypothesis behind this kernel was wrong for XLA on TPU: XLA already fuses
+the sign cast into the producing block's epilogue and the residual add into
+the conv's output fusion, so the separate-ops chain runs near the 2-pass
+HBM floor anyway (207us at 56x56x64 vs 557us for this kernel, whose
+in-VMEM tap-matrix construction — 9 shifted relayout copies of the padded
+tile — costs more than the passes it saves). Kept as a tested, bit-exact
+alternative lowering and as the substrate for future Mosaic work; see
+BENCHMARKS.md "round-3 reconciliation".
 
 Exactness: operands are +-1 int8 with int32 MXU accumulation and
 one-padding is applied literally to the sign tile (equivalent to the

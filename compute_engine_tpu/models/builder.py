@@ -37,7 +37,7 @@ from . import layers as L
 __all__ = ["InitBuilder", "FloatBuilder", "CalibrateBuilder",
            "ConvertBuilder", "PackedBuilder", "Int8Tensor", "init_model",
            "float_apply", "calibrate_model", "convert_model",
-           "packed_apply"]
+           "packed_apply", "prepare_runtime_arrays"]
 
 
 class _Base:
@@ -179,29 +179,33 @@ class FloatBuilder(_Base):
     def _bn(self, name):
         return {k: jnp.asarray(v) for k, v in self.params[name]["bn"].items()}
 
+    def _apply_bn(self, y, name):
+        """BN application hook — inference-mode moving statistics here;
+        ``models.train.TrainBuilder`` overrides this with batch statistics."""
+        return L.batch_norm(y, self._bn(name))
+
     def conv_bn(self, x, filters, ksize, *, stride=1, padding="SAME",
                 activation=None, name):
         y = L.conv2d(x, jnp.asarray(self.params[name]["kernel"]),
                      _pair(stride), padding)
-        return L.apply_activation(L.batch_norm(y, self._bn(name)), activation)
+        return L.apply_activation(self._apply_bn(y, name), activation)
 
     def depthwise_conv_bn(self, x, ksize, *, stride=1, activation=None,
                           name):
         y = L.depthwise_conv2d(x, jnp.asarray(self.params[name]["kernel"]),
                                _pair(stride))
-        return L.apply_activation(L.batch_norm(y, self._bn(name)), activation)
+        return L.apply_activation(self._apply_bn(y, name), activation)
 
     def binary_conv_bn(self, x, filters, ksize, *, stride=1, padding="SAME",
                        pad_value=1, name):
         y = _float_binary_conv(x, jnp.asarray(self.params[name]["kernel"]),
                                _pair(stride), padding, pad_value)
-        return L.batch_norm(y, self._bn(name))
+        return self._apply_bn(y, name)
 
     def binary_dense_bn(self, x, units, *, name):
         p = self.params[name]
-        return L.batch_norm(
-            _float_binary_dense(x, jnp.asarray(p["kernel"])),
-            self._bn(name))
+        return self._apply_bn(_float_binary_dense(x, jnp.asarray(p["kernel"])),
+                              name)
 
     def dense(self, x, units, *, use_bias=True, activation=None, name):
         p = self.params[name]
@@ -748,7 +752,7 @@ class PackedBuilder(_Base):
             def packed_fn():
                 return bconv2d(
                     xq_fn(), jnp.asarray(a["packed_filter_flipped"]),
-                    OutputTransform(thresholds=np.asarray(a["thresholds"])),
+                    OutputTransform(thresholds=jnp.asarray(a["thresholds"])),
                     params, output_kind="bitpacked", kernel=pk)
 
             def float_fn():
@@ -788,17 +792,23 @@ class PackedBuilder(_Base):
                     fw=kw_, m=n * out_h * out_w, out_kind="float",
                     groups=params.groups, dilation=params.dilation,
                     stride=params.stride)
+            # Pre-unpacked +-1 filter when the runtime prepared one
+            # (prepare_runtime_arrays) — skips a measured ~90us/block
+            # in-graph unpack.
+            upf = a.get("filter_pm1")
             if kernel == "s2d":
                 y = bconv2d_mxu_s2d(
                     x, jnp.asarray(a["packed_filter"]), transform, params,
-                    output_kind=out_kind, conv_dtype=self.binary_dtype)
+                    output_kind=out_kind, conv_dtype=self.binary_dtype,
+                    unpacked_filter=upf)
             elif kernel == "mxu":
                 # Sign directly to +-1 instead of a pack -> unpack
                 # round-trip (two full activation memory passes saved;
                 # bit-exact).
                 y = bconv2d_mxu_float_in(
                     x, jnp.asarray(a["packed_filter"]), transform, params,
-                    output_kind=out_kind, conv_dtype=self.binary_dtype)
+                    output_kind=out_kind, conv_dtype=self.binary_dtype,
+                    unpacked_filter=upf)
             else:
                 xq = quantize(x)  # runtime LceQuantize boundary
                 y = bconv2d(xq, jnp.asarray(a["packed_filter"]), transform,
@@ -809,7 +819,13 @@ class PackedBuilder(_Base):
 
         # Residual-add fusion: defer the conv so that add(x, conv(x)) can
         # run the whole block in one Pallas kernel (kernels/residual.py).
-        if (out_kind == "float" and self.kernel in ("auto", "residual")
+        # EXPLICIT OPT-IN ONLY: measured on v5e (fixed timer, batch 128) the
+        # XLA path wins — XLA already fuses the sign cast into the producer
+        # epilogue and the residual add into the conv epilogue, so the
+        # hand-fused kernel's VMEM tap-matrix construction costs more than
+        # the HBM passes it saves (557us vs 207us at 56x56x64). "auto"
+        # therefore never selects it; see BENCHMARKS.md round-3 notes.
+        if (out_kind == "float" and self.kernel == "residual"
                 and not isinstance(x, Int8Tensor) and hasattr(x, "ndim")
                 and x.ndim == 4):
             from ..kernels.residual import residual_block_supported
@@ -844,8 +860,7 @@ class PackedBuilder(_Base):
             def packed_fn():
                 return bgemm(xq_fn(),
                              jnp.asarray(a["packed_kernel_flipped"]).T,
-                             thresholds=jnp.asarray(
-                                 np.asarray(a["thresholds"])),
+                             thresholds=jnp.asarray(a["thresholds"]),
                              out_kind="bitpacked")
 
             def float_fn():
@@ -863,8 +878,11 @@ class PackedBuilder(_Base):
             acc_dtype = (jnp.int32 if self.binary_dtype == jnp.int8
                          else jnp.float32)
             xq = jnp.where(x < 0, -1, 1).astype(self.binary_dtype)
-            w = bitunpack(jnp.asarray(a["packed_kernel"]), c_in,
-                          dtype=self.binary_dtype).T  # (C, units)
+            if "kernel_pm1" in a:  # pre-unpacked at load time
+                w = jnp.asarray(a["kernel_pm1"]).astype(self.binary_dtype)
+            else:
+                w = bitunpack(jnp.asarray(a["packed_kernel"]), c_in,
+                              dtype=self.binary_dtype).T  # (C, units)
             t = jnp.dot(xq, w, preferred_element_type=acc_dtype)
             accum = ((k - t.astype(jnp.int32)) // 2).astype(jnp.int32)
             acc2 = jnp.clip(accum * 2, int(a["clamp_min"]),
@@ -940,6 +958,40 @@ def calibrate_model(spec, params, batches, with_outputs=False):
     if with_outputs:
         return b.ranges, b.out_ranges
     return b.ranges
+
+
+def prepare_runtime_arrays(layers):
+    """Augment artifact layers with once-unpacked +-1 int8 filters.
+
+    The artifact stores binary filters 32x-bitpacked (storage/transfer
+    format). The MXU conv paths consume +-1 int8 operands; unpacking inside
+    the traced forward costs a measured ~90us/block (56x56x64 b128, v5e)
+    PER CALL. This runs the unpack ONCE at load time — the runtime analogue
+    of ruy's cached weight packing (`core/bconv2d/optimized_bgemm.h:
+    133-134`, CachePolicy::kAlwaysCache) — adding:
+
+      bconv:  ``filter_pm1`` (FH, FW, C, O) int8
+      bdense: ``kernel_pm1`` (C, units) int8
+
+    The packed arrays stay in the artifact (the packed-domain kernels and
+    the 32x-compressed storage still use them). Call before ``split_arrays``
+    so the unpacked filters travel as jit arguments with the rest.
+    """
+    from ..core.bitpack import bitunpack
+
+    out = {}
+    for name, a in layers.items():
+        a = dict(a)
+        if a.get("kind") == "bconv" and "filter_pm1" not in a:
+            w = bitunpack(jnp.asarray(a["packed_filter"]),
+                          int(a["channels_in"]), dtype=jnp.int8)
+            a["filter_pm1"] = np.asarray(jnp.transpose(w, (1, 2, 3, 0)))
+        elif a.get("kind") == "bdense" and "kernel_pm1" not in a:
+            w = bitunpack(jnp.asarray(a["packed_kernel"]),
+                          int(a["channels_in"]), dtype=jnp.int8)
+            a["kernel_pm1"] = np.asarray(w.T)  # (C, units)
+        out[name] = a
+    return out
 
 
 def packed_apply(spec, artifact_layers, x, kernel="auto",

@@ -17,9 +17,23 @@ import jax.numpy as jnp
 BN_EPSILON = 1e-5
 
 
+@jax.custom_jvp
 def ste_sign(x):
-    """larq ``ste_sign`` forward: +-1 with sign(0) = +1."""
+    """larq ``ste_sign``: +-1 with sign(0) = +1; straight-through gradient.
+
+    The backward pass is the clipped identity (``1`` where ``|x| <= 1``),
+    matching larq's SteSign quantizer — this makes the QAT float forward
+    trainable (used by ``models.train`` for the brief synthetic training
+    that produces realistic BN statistics for the golden-logit fixtures,
+    the analogue of the reference's `tests/end2end_test.py:199-206`).
+    """
     return jnp.where(x < 0, -1.0, 1.0).astype(x.dtype)
+
+
+@ste_sign.defjvp
+def _ste_sign_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    return ste_sign(x), jnp.where(jnp.abs(x) <= 1.0, dx, 0.0)
 
 
 def conv2d(x, kernel, stride=(1, 1), padding="SAME", groups=1,

@@ -1,0 +1,137 @@
+"""Brief QAT training on synthetic data — realistic weights/BN for fixtures.
+
+The reference validates conversion with models *briefly trained* on real
+data so BatchNorm statistics are realistic rather than random
+(`tests/end2end_test.py:199-206` trains on tf_flowers before asserting
+converted-vs-Keras agreement). This module is the TPU-native analogue for an
+offline environment: a few Adam steps of straight-through-estimator training
+(``layers.ste_sign`` carries the clipped-identity gradient) on a synthetic
+*clustered* dataset (class prototypes + noise), followed by writing the
+observed batch statistics into the BN moving stats. The result is a
+parameter tree whose logits are class-separated and whose BN folds are
+realistic — the substrate for the committed golden-logit accuracy fixtures
+(tests/test_accuracy_fixtures.py).
+
+This is NOT a training framework (the reference has none either); it exists
+to manufacture honest conversion-accuracy evidence.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import layers as L
+from .builder import FloatBuilder
+
+__all__ = ["TrainBuilder", "make_prototypes", "clustered_batch",
+           "synthetic_clustered", "train_briefly"]
+
+
+class TrainBuilder(FloatBuilder):
+    """QAT float forward using BATCH statistics for BN (training mode).
+
+    Records per-layer batch (mean, var) in ``self.batch_stats`` so the
+    training loop can update the moving statistics, and returns logits from
+    ``softmax`` (identity) so the loss can use a numerically-stable fused
+    softmax-cross-entropy.
+    """
+
+    def __init__(self, params):
+        super().__init__(params)
+        self.batch_stats = {}
+
+    def _apply_bn(self, y, name):
+        axes = tuple(range(y.ndim - 1))
+        mean = jnp.mean(y, axis=axes)
+        var = jnp.var(y, axis=axes)
+        self.batch_stats[name] = (mean, var)
+        bn = self._bn(name)
+        scale = bn["gamma"] * jax.lax.rsqrt(var + L.BN_EPSILON)
+        return (y - mean) * scale + bn["beta"]
+
+    def softmax(self, x):
+        return x.astype(jnp.float32)  # logits; loss applies log-softmax
+
+
+def make_prototypes(seed, size, num_classes):
+    """Unit-norm class prototype images, deterministic in ``seed``.
+
+    Train AND eval batches must share prototypes: a class-separable
+    distribution is what makes the trained model's logits decisive, so
+    top-1 agreement between execution paths is evidence rather than a coin
+    flip on near-uniform logits."""
+    rng = np.random.default_rng(seed)
+    protos = rng.normal(0, 1, (num_classes, *size, 3)).astype(np.float32)
+    protos /= np.sqrt((protos ** 2).mean(axis=(1, 2, 3), keepdims=True))
+    return protos
+
+
+def clustered_batch(protos, rng, batch, spread=0.35):
+    """One labelled batch drawn around the given prototypes."""
+    y = rng.integers(0, len(protos), batch)
+    x = protos[y] + rng.normal(0, spread, (batch, *protos.shape[1:]))
+    return x.astype(np.float32), y
+
+
+def synthetic_clustered(rng, batch, size, num_classes, spread=0.35,
+                        protos=None):
+    """Endless stream of clustered batches (prototypes drawn from ``rng``
+    unless given)."""
+    if protos is None:
+        protos = make_prototypes(rng, size, num_classes)
+    while True:
+        yield clustered_batch(protos, rng, batch, spread)
+
+
+def train_briefly(spec, params, *, steps=40, batch=32, lr=2e-3, seed=0,
+                  num_classes=None, bn_momentum=0.7, data=None, protos=None):
+    """A few Adam+STE steps; returns a trained numpy parameter tree.
+
+    BN moving statistics are replaced by the running average of the observed
+    batch statistics (momentum ``bn_momentum``), i.e. the forward used for
+    conversion sees BN folds consistent with the data distribution.
+    """
+    import optax
+
+    num_classes = num_classes or spec.num_classes
+    rng = np.random.default_rng(seed)
+    stream = data if data is not None else synthetic_clustered(
+        rng, batch, spec.input_size, num_classes, protos=protos)
+
+    params = jax.tree_util.tree_map(jnp.asarray, dict(params))
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    def loss_fn(p, x, y):
+        b = TrainBuilder(p)
+        logits = spec.forward(b, x)
+        loss = optax.softmax_cross_entropy_with_integer_labels(
+            logits, y).mean()
+        return loss, b.batch_stats
+
+    @jax.jit
+    def step(p, opt_state, x, y):
+        (loss, stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(p, x, y)
+        updates, opt_state = opt.update(grads, opt_state, p)
+        p = optax.apply_updates(p, updates)
+        # BN moving-stat update (Keras semantics: m*old + (1-m)*batch).
+        for name, (mean, var) in stats.items():
+            bn = p[name]["bn"]
+            bn["moving_mean"] = (bn_momentum * bn["moving_mean"]
+                                 + (1 - bn_momentum) * mean)
+            bn["moving_variance"] = (bn_momentum * bn["moving_variance"]
+                                     + (1 - bn_momentum) * var)
+        return p, opt_state, loss
+
+    losses = []
+    for _ in range(steps):
+        x, y = next(stream)
+        params, opt_state, loss = step(params, opt_state,
+                                       jnp.asarray(x), jnp.asarray(y))
+        losses.append(float(loss))
+    return (jax.tree_util.tree_map(np.asarray, params),
+            {"loss_first": losses[0], "loss_last": losses[-1]})

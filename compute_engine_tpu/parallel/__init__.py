@@ -8,6 +8,7 @@ The reference's only parallelism is ruy's intra-op thread pool
 with XLA GSPMD inserting the collectives.
 """
 
+from .collective import tp_bconv2d  # noqa: F401
 from .mesh import make_mesh  # noqa: F401
 from .sharding import (  # noqa: F401
     artifact_shardings,

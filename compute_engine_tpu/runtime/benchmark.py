@@ -25,7 +25,7 @@ from ..converter import load_artifact
 from ..models import convert_model, get_model, init_model, packed_apply
 
 
-def _iterated_forward(spec, layers, kernel, compute_dtype, iters,
+def _iterated_forward(spec, static, kernel, compute_dtype, iters,
                       binary_dtype=jnp.int8):
     """Run the model ``iters`` times inside one program.
 
@@ -34,18 +34,23 @@ def _iterated_forward(spec, layers, kernel, compute_dtype, iters,
     iterations in a ``fori_loop`` with a data dependency (the carry perturbs
     the input, preventing loop-invariant hoisting) and dividing total device
     time by ``iters`` isolates steady-state on-device latency.
-    """
 
-    def step(x, carry):
+    Weights enter as jit arguments (see Interpreter) so the measurement
+    includes the real weight HBM reads rather than whatever XLA folded.
+    """
+    from ..converter import merge_arrays
+
+    def step(layers, x, carry):
         x = x.at[0, 0, 0, 0].add(carry * 1e-12)
         out = packed_apply(spec, layers, x, kernel=kernel,
                            compute_dtype=compute_dtype,
                            binary_dtype=binary_dtype)
         return jnp.mean(out)
 
-    def run(x):
+    def run(arrays, x):
+        layers = merge_arrays(static, arrays)
         return jax.lax.fori_loop(
-            0, iters, lambda i, c: step(x, c), jnp.float32(0.0))
+            0, iters, lambda i, c: step(layers, x, c), jnp.float32(0.0))
 
     return jax.jit(run)
 
@@ -64,25 +69,31 @@ def benchmark_model(model="quicknet", batch=8, iters=20, warmup=1,
     rng = np.random.default_rng(seed)
     x = jnp.asarray(rng.normal(0, 1, (batch, *size, 3)).astype(np.float32))
 
+    from ..converter import split_arrays
+    from ..models import prepare_runtime_arrays
+
+    static, arrays = split_arrays(prepare_runtime_arrays(layers))
+    arrays = jax.tree.map(jnp.asarray, arrays)
+
     # Differencing (see microbench.time_fn): T(2k) - T(k) cancels the fixed
     # per-dispatch tunnel/launch overhead.
-    run_k = _iterated_forward(spec, layers, kernel, compute_dtype, iters,
+    run_k = _iterated_forward(spec, static, kernel, compute_dtype, iters,
                               binary_dtype)
-    run_2k = _iterated_forward(spec, layers, kernel, compute_dtype,
+    run_2k = _iterated_forward(spec, static, kernel, compute_dtype,
                                2 * iters, binary_dtype)
     t0 = time.perf_counter()
-    np.asarray(run_k(x))  # compile + first run; fetch forces completion
+    np.asarray(run_k(arrays, x))  # compile + first run; fetch forces completion
     compile_time = time.perf_counter() - t0
-    np.asarray(run_2k(x))
+    np.asarray(run_2k(arrays, x))
     for _ in range(max(warmup - 1, 0)):
-        np.asarray(run_k(x))
+        np.asarray(run_k(arrays, x))
 
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        np.asarray(run_k(x))
+        np.asarray(run_k(arrays, x))
         t1 = time.perf_counter()
-        np.asarray(run_2k(x))
+        np.asarray(run_2k(arrays, x))
         t2 = time.perf_counter()
         times.append(max(((t2 - t1) - (t1 - t0)) / iters, 1e-9))
     times = np.asarray(times)

@@ -69,11 +69,23 @@ class Interpreter:
         self.output_scale = output_scale
         self.output_zero_point = output_zero_point
 
-        def forward(x):
+        # Weights are jit ARGUMENTS, not trace-time constants: XLA cannot
+        # constant-fold an unpacked filter into the executable (which would
+        # forfeit the 32x packed compression and bloat compile time). They
+        # are not donated — the same buffers serve every call.
+        from ..converter import merge_arrays, split_arrays
+        from ..models import prepare_runtime_arrays
+
+        # One-time unpack of the +-1 filters (ruy weight-cache analogue).
+        self._static, arrays = split_arrays(prepare_runtime_arrays(layers))
+        self._arrays = jax.tree.map(jnp.asarray, arrays)
+
+        def forward(arrays, x):
+            lyrs = merge_arrays(self._static, arrays)
             if self.input_scale is not None:
                 x = (x.astype(jnp.float32)
                      - float(self.input_zero_point)) * float(self.input_scale)
-            out = packed_apply(self.spec, self.layers, x, kernel=self.kernel,
+            out = packed_apply(self.spec, lyrs, x, kernel=self.kernel,
                                compute_dtype=self.compute_dtype,
                                return_logits=self.output_mode == "logits")
             if self.output_mode == "int8":
@@ -97,7 +109,7 @@ class Interpreter:
         x = jnp.asarray(x)
         if self.input_scale is None and x.dtype != jnp.float32:
             x = x.astype(jnp.float32)
-        return self._jitted(x)
+        return self._jitted(self._arrays, x)
 
     def predict(self, x, batch_size: int | None = None):
         """Predict class probabilities; mirrors ``Interpreter.predict``.

@@ -51,8 +51,12 @@ def time_fn(fn, args, iters=100, repeats=3, perturb=None):
 
     def body(_, carry):
         out = fn(*perturb(args, carry))
-        return jax.tree_util.tree_leaves(out)[0].ravel()[0].astype(
-            jnp.float32)
+        # The barrier forces the FULL result to be materialised. Without it
+        # XLA slices the body back through the op to the single element the
+        # carry consumes (it narrows convs and elementwise producers), and
+        # the measurement collapses to near zero for single-op graphs.
+        leaves = jax.lax.optimization_barrier(jax.tree_util.tree_leaves(out))
+        return leaves[0].ravel()[0].astype(jnp.float32)
 
     def make_run(n):
         return jax.jit(

@@ -1,0 +1,118 @@
+"""Generate committed accuracy fixtures (run on the real TPU chip).
+
+The analogue of the reference's briefly-trained end-to-end accuracy tests
+(`tests/end2end_test.py:199-217`): train each flagship model briefly on a
+deterministic clustered synthetic dataset (STE + Adam + BN-stat adaptation,
+`models/train.py`), then measure top-1 agreement between the QAT float
+oracle and every packed execution path over >=512 images at the production
+224x224 input size. Results (and the oracle's logits for the first images)
+are committed to tests/fixtures/accuracy_224.json, which
+tests/test_accuracy_fixtures.py asserts against.
+
+Usage: PYTHONPATH=/root/repo python scripts/make_accuracy_fixtures.py
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax.numpy as jnp  # noqa: E402
+
+from compute_engine_tpu.models import (calibrate_model, convert_model,  # noqa: E402
+                                       float_apply, get_model, init_model,
+                                       packed_apply, train_briefly)
+from compute_engine_tpu.models.train import clustered_batch, make_prototypes  # noqa: E402
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures",
+                   "accuracy_224.json")
+N_EVAL = 512
+N_CLASSES = 64  # separable at brief-training scale; head stays 1000-wide
+BATCH = 64
+
+
+def run_model(name, seed=0):
+    spec = get_model(name)
+    protos = make_prototypes(1000 + seed, spec.input_size, N_CLASSES)
+    params = init_model(spec, seed=seed)
+    trained, info = train_briefly(spec, params, steps=40, batch=32,
+                                  seed=seed, num_classes=N_CLASSES,
+                                  protos=protos)
+    print(f"{name}: loss {info['loss_first']:.3f} -> {info['loss_last']:.3f}")
+
+    rng = np.random.default_rng(2000 + seed)
+    record = {"images": 0, "paths": {}, "oracle": {}}
+    agree = {}
+    oracle_top1 = []
+    oracle_acc = 0
+
+    layers = convert_model(spec, trained)
+    in_r, out_r = calibrate_model(
+        spec, trained,
+        [clustered_batch(protos, np.random.default_rng(3000 + seed), 32)[0]],
+        with_outputs=True)
+    layers8 = convert_model(spec, trained, int8_ranges=in_r,
+                            int8_out_ranges=out_r)
+
+    first_logits = None
+    for start in range(0, N_EVAL, BATCH):
+        x, y = clustered_batch(protos, rng, BATCH)
+        xj = jnp.asarray(x)
+        want = np.asarray(float_apply(spec, trained, xj))
+        if first_logits is None:
+            first_logits = want[:4, :16]
+        top = want.argmax(-1)
+        oracle_top1.extend(top.tolist())
+        oracle_acc += int((top == y).sum())
+        for key, fn in {
+            "packed_f32": lambda: packed_apply(
+                spec, layers, xj, compute_dtype=jnp.float32),
+            "packed_bf16": lambda: packed_apply(
+                spec, layers, xj, compute_dtype=jnp.bfloat16),
+            "packed_int8": lambda: packed_apply(
+                spec, layers8, xj, compute_dtype=jnp.bfloat16),
+        }.items():
+            got = np.asarray(fn()).argmax(-1)
+            agree.setdefault(key, 0)
+            agree[key] += int((got == top).sum())
+        record["images"] += BATCH
+        print(f"  {record['images']}/{N_EVAL}", flush=True)
+
+    n = record["images"]
+    record["oracle"] = {
+        "top1_accuracy": oracle_acc / n,
+        "first_logits_4x16": np.asarray(first_logits, np.float64).round(
+            4).tolist(),
+    }
+    record["paths"] = {k: {"top1_agreement": v / n} for k, v in agree.items()}
+    record["train_loss"] = info
+    return record
+
+
+def main():
+    import jax
+
+    fixtures = {
+        "_meta": {
+            "device": str(jax.devices()[0]),
+            "n_eval": N_EVAL,
+            "n_classes": N_CLASSES,
+            "recipe": "train_briefly(steps=40,batch=32) on "
+                      "make_prototypes(1000+seed) clustered data",
+        },
+    }
+    for name in ("quicknet", "birealnet18"):
+        fixtures[name] = run_model(name)
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "w") as f:
+        json.dump(fixtures, f, indent=1)
+    print("wrote", OUT)
+    for name in ("quicknet", "birealnet18"):
+        print(name, fixtures[name]["paths"])
+
+
+if __name__ == "__main__":
+    main()

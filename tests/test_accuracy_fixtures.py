@@ -1,0 +1,114 @@
+"""Accuracy evidence with trained (not random-BN) weights.
+
+The reference proves conversion accuracy with briefly-trained models
+(`tests/end2end_test.py:199-217`: train on tf_flowers, assert converted
+outputs track Keras within tolerance). Offline analogue:
+
+1. An in-suite derivation on a tiny model: brief STE training on clustered
+   synthetic data, then top-1 agreement between the QAT float oracle and the
+   packed f32 / bf16 / true-int8 / packed-domain paths over 512 images,
+   plus an end-to-end run of the `runtime.evaluate` harness.
+2. A committed fixture (tests/fixtures/accuracy_224.json, generated on the
+   real TPU by scripts/make_accuracy_fixtures.py) recording the same
+   protocol for QuickNet and Bi-RealNet-18 at the production 224x224 input;
+   asserted here so a regression in the committed evidence fails the suite.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from compute_engine_tpu.models import (calibrate_model, convert_model,
+                                       float_apply, init_model, packed_apply,
+                                       tiny_quicknet, train_briefly)
+from compute_engine_tpu.models.train import clustered_batch, make_prototypes
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "accuracy_224.json")
+
+N_CLASSES = 8
+SPEC = tiny_quicknet(section_filters=(32, 64), section_blocks=(1, 1),
+                     num_classes=N_CLASSES, input_size=32)
+
+
+@pytest.fixture(scope="module")
+def trained_setup():
+    protos = make_prototypes(7, SPEC.input_size, N_CLASSES)
+    params = init_model(SPEC, seed=0)
+    trained, info = train_briefly(SPEC, params, steps=60, batch=64, seed=0,
+                                  protos=protos)
+    assert info["loss_last"] < 0.6 * info["loss_first"], info
+    x, y = clustered_batch(protos, np.random.default_rng(123), 512)
+    oracle = np.asarray(float_apply(SPEC, trained, jnp.asarray(x)))
+    # The trained oracle must actually separate classes — otherwise
+    # agreement would be vacuous.
+    assert (oracle.argmax(-1) == y).mean() >= 0.99
+    return trained, protos, x, y, oracle
+
+
+def _agreement(got, oracle):
+    return float((np.asarray(got).argmax(-1) == oracle.argmax(-1)).mean())
+
+
+def test_trained_packed_paths_top1_agreement(trained_setup):
+    trained, protos, x, y, oracle = trained_setup
+    layers = convert_model(SPEC, trained)
+    xj = jnp.asarray(x)
+    assert _agreement(
+        packed_apply(SPEC, layers, xj, compute_dtype=jnp.float32),
+        oracle) >= 0.99
+    assert _agreement(
+        packed_apply(SPEC, layers, xj, compute_dtype=jnp.bfloat16),
+        oracle) >= 0.99
+    assert _agreement(
+        packed_apply(SPEC, layers, xj, compute_dtype=jnp.bfloat16,
+                     domain="packed"), oracle) >= 0.99
+
+
+def test_trained_int8_pipeline_top1_agreement(trained_setup):
+    trained, protos, x, y, oracle = trained_setup
+    in_r, out_r = calibrate_model(
+        SPEC, trained,
+        [clustered_batch(protos, np.random.default_rng(5), 64)[0]],
+        with_outputs=True)
+    layers8 = convert_model(SPEC, trained, int8_ranges=in_r,
+                            int8_out_ranges=out_r)
+    assert _agreement(
+        packed_apply(SPEC, layers8, jnp.asarray(x),
+                     compute_dtype=jnp.bfloat16), oracle) >= 0.98
+
+
+def test_evaluate_harness_end_to_end(trained_setup):
+    from compute_engine_tpu.runtime.evaluate import evaluate
+    from compute_engine_tpu.runtime.interpreter import Interpreter
+
+    trained, protos, x, y, oracle = trained_setup
+    layers = convert_model(SPEC, trained)
+    interp = Interpreter(model=SPEC, layers=layers)
+    rng = np.random.default_rng(9)
+    batches = [clustered_batch(protos, rng, 64) for _ in range(8)]
+    result = evaluate(lambda t: interp.predict(t), batches,
+                      progress_every=0)
+    assert result["images"] == 512
+    assert result["top1"] >= 0.99
+    assert result["top5"] >= result["top1"]
+
+
+def test_committed_224_fixture():
+    """The TPU-generated QuickNet/Bi-RealNet 224x224 fixture must exist and
+    record >=99% top-1 agreement for every path over >=512 images."""
+    with open(FIXTURE) as f:
+        fx = json.load(f)
+    for model in ("quicknet", "birealnet18"):
+        rec = fx[model]
+        assert rec["images"] >= 512, (model, rec["images"])
+        assert rec["oracle"]["top1_accuracy"] >= 0.95, model
+        for path in ("packed_f32", "packed_bf16", "packed_int8"):
+            agreement = rec["paths"][path]["top1_agreement"]
+            assert agreement >= 0.99, (model, path, agreement)
+        logits = np.asarray(rec["oracle"]["first_logits_4x16"])
+        assert logits.shape == (4, 16) and np.isfinite(logits).all()
