@@ -22,6 +22,9 @@ def _layer_specs(layer):
     if kind == "bconv":
         return {
             "packed_filter": P("model", None, None, None),
+            # pre-unpacked +-1 filter (prepare_runtime_arrays): HWIO layout,
+            # same output-channel TP split on the last axis.
+            "filter_pm1": P(None, None, None, "model"),
             "multiplier": P("model"),
             "bias": P("model"),
         }
@@ -31,6 +34,9 @@ def _layer_specs(layer):
         return {"kernel": P(None, None, "model", None), "bias": P("model")}
     if kind == "dense":
         return {"kernel": P(None, "model"), "bias": P("model")}
+    if kind == "bdense":
+        return {"kernel_pm1": P(None, "model"), "multiplier": P("model"),
+                "bias": P("model")}
     return {}
 
 

@@ -47,19 +47,28 @@ class ShardedInterpreter:
             dp = dp or len(devices) // tp
             mesh = make_mesh((dp, tp), devices=devices[:dp * tp])
         self.mesh = mesh
-        self.layers = shard_artifact(layers, mesh)
+        # Weights as jit ARGUMENTS with their TP shardings (see Interpreter):
+        # nothing can be constant-folded into the program, and the pre-
+        # unpacked +-1 filters are sharded on output channels like the
+        # packed words.
+        from ..converter import merge_arrays, split_arrays
+        from ..models import prepare_runtime_arrays
+
+        self.layers = shard_artifact(prepare_runtime_arrays(layers), mesh)
+        self._static, self._arrays = split_arrays(self.layers)
         self._in_sharding = input_sharding(mesh)
         self._jitted = jax.jit(
-            lambda x: packed_apply(self.spec, self.layers, x, kernel=kernel,
-                                   compute_dtype=compute_dtype),
-            in_shardings=self._in_sharding)
+            lambda arrays, x: packed_apply(
+                self.spec, merge_arrays(self._static, arrays), x,
+                kernel=kernel, compute_dtype=compute_dtype),
+            in_shardings=(None, self._in_sharding))
 
     @property
     def data_parallelism(self):
         return self.mesh.shape["data"]
 
     def __call__(self, x):
-        return self._jitted(jnp.asarray(x, jnp.float32))
+        return self._jitted(self._arrays, jnp.asarray(x, jnp.float32))
 
 
 class MultiHostServer:
