@@ -93,10 +93,15 @@ def apply_activation(x, activation):
 
 
 def max_pool(x, pool_size, stride, padding="SAME"):
+    # init must be a CONCRETE scalar of the operand dtype: lax.reduce_window
+    # rejects a (weak) int32 Python scalar against an int8 operand, and a
+    # traced jnp array init loses the reduce_window_max autodiff path.
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        init = -jnp.inf
+    else:
+        init = np.dtype(x.dtype).type(jnp.iinfo(x.dtype).min)
     return jax.lax.reduce_window(
-        x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else
-        jnp.iinfo(x.dtype).min,
-        jax.lax.max,
+        x, init, jax.lax.max,
         (1, *pool_size, 1), (1, *stride, 1), padding)
 
 

@@ -34,6 +34,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true",
                    help="batch 128 + float only (fast sanity regen)")
+    p.add_argument("--configs", default=None,
+                   help="comma list like '128:float,8:bitpacked' — run a "
+                        "subset and MERGE into the existing table file "
+                        "(each config is ~40 TPU compiles; run them "
+                        "incrementally)")
     p.add_argument("--iters", type=int, default=30)
     args = p.parse_args()
 
@@ -43,9 +48,14 @@ def main():
 
     select.reset_table()
     select._TABLE.clear()  # measure fresh — no stale defaults
-    configs = [(128, "float")]
-    if not args.quick:
-        configs += [(8, "float"), (128, "bitpacked"), (8, "bitpacked")]
+    if args.configs:
+        configs = [(int(b), k) for b, k in
+                   (c.split(":") for c in args.configs.split(","))]
+    elif args.quick:
+        configs = [(128, "float")]
+    else:
+        configs = [(128, "float"), (8, "float"),
+                   (128, "bitpacked"), (8, "bitpacked")]
 
     raw = {}
     for batch, out_kind in configs:
@@ -57,17 +67,27 @@ def main():
                       for (d, k), t in per.items()}
             print(f"  {shape}: {pretty}", flush=True)
             raw[f"{batch}|{out_kind}|{shape}"] = pretty
+        _write(select, jax, raw)  # checkpoint after every config
 
-    data = {"|".join(str(x) for x in k): v
-            for k, v in select.kernel_table().items()}
-    data["_meta"] = {
+
+def _write(select, jax, raw):
+    try:
+        with open(OUT) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        data = {}
+    meta = data.pop("_meta", {})
+    data.update({"|".join(str(x) for x in k): v
+                 for k, v in select.kernel_table().items()})
+    meta.update({
         "device": str(jax.devices()[0]),
         "timer": "fori differencing + optimization_barrier (round 3)",
-        "raw_us": raw,
-    }
+    })
+    meta.setdefault("raw_us", {}).update(raw)
+    data["_meta"] = meta
     with open(OUT, "w") as f:
         json.dump(data, f, indent=1, sort_keys=True)
-    print("wrote", OUT, f"({len(data) - 1} entries)")
+    print("wrote", OUT, f"({len(data) - 1} entries)", flush=True)
 
 
 if __name__ == "__main__":

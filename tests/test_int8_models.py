@@ -217,3 +217,44 @@ def test_int8_output_binary_conv(rng):
     out = np.asarray(packed_apply(spec, layers, x,
                                   compute_dtype=jnp.float32))
     assert out.shape == (2, 16) and np.all(np.isfinite(out))
+
+
+def test_int8_maxpool_in_int8_domain(rng):
+    """Regression: an int8-producing conv feeding max_pool (the Bi-RealNet
+    stem under the int8 pipeline) must pool in the int8 domain — lax
+    requires the reduce_window init value bound at the operand dtype."""
+    from compute_engine_tpu.models import Int8Tensor, PackedBuilder
+
+    def stem_pool(b, x, *, num_classes=8):
+        x = b.conv_bn(x, 16, 3, stride=2, name="stem_conv")
+        x = b.max_pool(x, 3, 2)
+        x = b.global_avg_pool(x)
+        x = b.dense(x, num_classes, name="head")
+        return b.softmax(x)
+
+    spec = ModelSpec("stem_pool", stem_pool, input_size=(32, 32),
+                     num_classes=8)
+    params = init_model(spec, seed=3, randomize_bn=True)
+    calib = [rng.normal(0, 1, (4, 32, 32, 3)).astype(np.float32)]
+    in_r, out_r = calibrate_model(spec, params, calib, with_outputs=True)
+    layers8 = convert_model(spec, params, int8_ranges=in_r,
+                            int8_out_ranges=out_r)
+    assert "out_scale" in layers8["stem_conv"]
+
+    # Direct check that the pooled tensor stayed int8 (not dequantised).
+    pb = PackedBuilder(layers8, compute_dtype=jnp.float32)
+    h = pb.conv_bn(jnp.asarray(calib[0]), 16, 3, stride=2,
+                   name="stem_conv")
+    assert isinstance(h, Int8Tensor)
+    pooled = pb.max_pool(h, 3, 2)
+    assert isinstance(pooled, Int8Tensor)
+    assert pooled.values.dtype == jnp.int8
+
+    x = rng.normal(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    got = np.asarray(packed_apply(spec, layers8, jnp.asarray(x),
+                                  compute_dtype=jnp.float32))
+    want = np.asarray(float_apply(spec, params, jnp.asarray(x)))
+    assert got.shape == want.shape and np.all(np.isfinite(got))
+    # max commutes with the positive scale: int8-domain pooling tracks the
+    # float oracle up to quantisation error.
+    np.testing.assert_allclose(got, want, atol=0.15)
