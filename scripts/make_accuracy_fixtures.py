@@ -30,14 +30,17 @@ from compute_engine_tpu.models.train import clustered_batch, make_prototypes  # 
 OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures",
                    "accuracy_224.json")
 N_EVAL = 512
-N_CLASSES = 16  # separable at brief-training scale; head stays 1000-wide
 BATCH = 64
+# Classes: separable at brief-training scale; head stays 1000-wide.
+# Bi-RealNet's real-shortcut topology generalises slower at this training
+# budget (measured: 16 classes -> 0.984 held-out oracle at 250 steps, and
+# MORE steps overfit — 400 steps -> 0.852), so it gets the easier 8-class
+# task for decisive margins.
+N_CLASSES = {"quicknet": 16, "birealnet18": 8}
 # 40 steps leaves the 224x224 models at chance (loss ~= ln(N_CLASSES), the
 # "restrict to the used classes" plateau); ~250 Adam+STE steps separates the
-# clustered prototypes decisively (measured on the v5e). Bi-RealNet's
-# real-shortcut topology generalises a little slower; give it more steps so
-# its oracle is decisive on held-out draws.
-TRAIN_STEPS = {"quicknet": 250, "birealnet18": 400}
+# clustered prototypes decisively (measured on the v5e).
+TRAIN_STEPS = {"quicknet": 250, "birealnet18": 250}
 # Evaluate ON the training distribution (spread 0.35), like the reference
 # evaluating its briefly-trained models on the dataset they trained on
 # (`tests/end2end_test.py:199-217`). Tighter spreads move draws closer to
@@ -52,11 +55,12 @@ EVAL_SPREAD = 0.35
 
 def run_model(name, seed=0):
     spec = get_model(name)
-    protos = make_prototypes(1000 + seed, spec.input_size, N_CLASSES)
+    n_classes = N_CLASSES[name]
+    protos = make_prototypes(1000 + seed, spec.input_size, n_classes)
     params = init_model(spec, seed=seed)
     trained, info = train_briefly(spec, params, steps=TRAIN_STEPS[name],
                                   batch=32, seed=seed,
-                                  num_classes=N_CLASSES, protos=protos)
+                                  num_classes=n_classes, protos=protos)
     print(f"{name}: loss {info['loss_first']:.3f} -> {info['loss_last']:.3f}")
 
     # The oracle must actually separate classes before agreement means
@@ -129,26 +133,37 @@ def run_model(name, seed=0):
 
 
 def main():
+    import argparse
+
     import jax
 
-    fixtures = {
-        "_meta": {
-            "device": str(jax.devices()[0]),
-            "n_eval": N_EVAL,
-            "n_classes": N_CLASSES,
-            "recipe": f"train_briefly(steps={TRAIN_STEPS},batch=32) on "
-                      "make_prototypes(1000+seed) clustered data; eval "
-                      f"spread {EVAL_SPREAD}",
-        },
+    p = argparse.ArgumentParser()
+    p.add_argument("--models", default="quicknet,birealnet18",
+                   help="comma list; each model's record is MERGED into the "
+                        "existing fixture file, so models can be "
+                        "(re)generated one at a time")
+    args = p.parse_args()
+
+    try:
+        with open(OUT) as f:
+            fixtures = json.load(f)
+    except (OSError, ValueError):
+        fixtures = {}
+    fixtures["_meta"] = {
+        "device": str(jax.devices()[0]),
+        "n_eval": N_EVAL,
+        "n_classes": N_CLASSES,
+        "recipe": f"train_briefly(steps={TRAIN_STEPS},batch=32) on "
+                  "make_prototypes(1000+seed) clustered data; eval "
+                  f"spread {EVAL_SPREAD}",
     }
-    for name in ("quicknet", "birealnet18"):
+    for name in args.models.split(","):
         fixtures[name] = run_model(name)
-    os.makedirs(os.path.dirname(OUT), exist_ok=True)
-    with open(OUT, "w") as f:
-        json.dump(fixtures, f, indent=1)
-    print("wrote", OUT)
-    for name in ("quicknet", "birealnet18"):
-        print(name, fixtures[name]["paths"])
+        os.makedirs(os.path.dirname(OUT), exist_ok=True)
+        with open(OUT, "w") as f:
+            json.dump(fixtures, f, indent=1)
+        print("wrote", OUT, "with", name, flush=True)
+        print(name, fixtures[name]["paths"], flush=True)
 
 
 if __name__ == "__main__":

@@ -103,6 +103,15 @@ def test_committed_224_fixture():
     record >=99% top-1 agreement for every path over >=512 images."""
     with open(FIXTURE) as f:
         fx = json.load(f)
+    # 99th-percentile per-image max |prob - oracle prob|: the margin-free
+    # closeness bound (analogue of the reference's end2end output
+    # tolerances, `tests/end2end_test.py:210-217`; int8's bound is the
+    # quantisation-error scale, as there). The p99 — not the max — is
+    # asserted because a near-zero hidden pre-activation can legitimately
+    # flip under BN-folding float reassociation and cascade on <1% of
+    # images (the same reason agreement is 0.99, not 1.0).
+    dprob_p99_bound = {"packed_f32": 0.05, "packed_bf16": 0.3,
+                       "packed_int8": 0.5}
     for model in ("quicknet", "birealnet18"):
         rec = fx[model]
         assert rec["images"] >= 512, (model, rec["images"])
@@ -110,5 +119,7 @@ def test_committed_224_fixture():
         for path in ("packed_f32", "packed_bf16", "packed_int8"):
             agreement = rec["paths"][path]["top1_agreement"]
             assert agreement >= 0.99, (model, path, agreement)
+            dp = rec["paths"][path]["dprob_p99"]
+            assert dp <= dprob_p99_bound[path], (model, path, dp)
         logits = np.asarray(rec["oracle"]["first_logits_4x16"])
         assert logits.shape == (4, 16) and np.isfinite(logits).all()
