@@ -8,6 +8,7 @@ def test_shipped_table_covers_zoo_shapes():
     measurements, not the heuristic (VERDICT r2 #4; the reference's analogue
     is the measured rule set in `core/indirect_bgemm/select_kernel.h`)."""
     from compute_engine_tpu.kernels.select import (_DEFAULT_TABLE, _key,
+                                                   reset_table,
                                                    select_bconv2d_kernel)
 
     assert _DEFAULT_TABLE, "kernels/kernel_table.json missing or empty"

@@ -89,7 +89,12 @@ def main():
     for i, (label, _) in enumerate(prefixes):
         dt_ms = times[i] - prev
         prev = times[i]
-        row = {"name": label.lstrip("+"), "ms": round(dt_ms, 3)}
+        row = {"name": label.lstrip("+"), "ms": round(max(dt_ms, 0.0), 3)}
+        if dt_ms < 0:
+            # Prefix p50s are measured independently; a cheap section can
+            # come out negative from timing noise. Clamp and flag it rather
+            # than reporting a negative time.
+            row["noise"] = f"raw delta {dt_ms:.3f} ms < 0 (timer noise)"
         if label.startswith("+section"):
             s = int(label[-1])
             macs = section_macs(s, args.batch)
