@@ -10,9 +10,16 @@ Public API mirrors `larq_compute_engine/__init__.py` (convert_keras_model /
 convert_saved_model):
   convert(spec, params)            -> artifact layer dict
   save_artifact / load_artifact    -> .npz packed-weight artifact
-  keras_import.import_keras_weights -> map a Larq/Keras model onto params
+  keras_import.import_keras_weights -> map a Larq/Keras model onto a KNOWN
+                                       spec's params (weight-tree mapping)
+  import_keras_model(model)        -> (spec, params) from the Keras graph
+                                       alone — the convert_keras_model
+                                       equivalent (graph pattern walking,
+                                       `mlir/python/converter.py:166-280`)
 """
 
 from ..models.builder import convert_model as convert  # noqa: F401
 from .artifact import (load_artifact, merge_arrays,  # noqa: F401
                        save_artifact, split_arrays)
+from .graph_import import (import_keras_model,  # noqa: F401
+                           spec_from_program)

@@ -6,6 +6,11 @@ Usage:
       [--keras-h5 model.h5 | --keras-saved-model dir]   # import weights
       [--seed 0]                                        # else random init
       [--int8-calib-batches 4]                          # int8 model
+
+``--model auto`` with a Keras source walks the Keras graph directly
+(converter.graph_import) — no registry spec needed — and stores the graph
+program in the artifact header, making the artifact self-contained (the
+convert_keras_model + flatbuffer analogue).
 """
 
 from __future__ import annotations
@@ -32,19 +37,33 @@ def main(argv=None):
                           init_model)
     from .artifact import save_artifact
 
-    spec = get_model(args.model)
+    graph_program = None
+    if args.model == "auto":
+        if not (args.keras_h5 or args.keras_saved_model):
+            p.error("--model auto requires a --keras-h5/--keras-saved-model "
+                    "source to walk")
+        import tensorflow as tf
 
-    if args.keras_h5 or args.keras_saved_model:
+        from .graph_import import import_keras_model
+
+        keras_model = tf.keras.models.load_model(
+            args.keras_h5 or args.keras_saved_model)
+        spec, params = import_keras_model(keras_model)
+        graph_program = spec.forward.program
+        source = args.keras_h5 or args.keras_saved_model
+    elif args.keras_h5 or args.keras_saved_model:
         import tensorflow as tf
 
         from .keras_import import import_keras_weights
 
+        spec = get_model(args.model)
         keras_model = (tf.keras.models.load_model(args.keras_h5)
                        if args.keras_h5 else
                        tf.keras.models.load_model(args.keras_saved_model))
         params = import_keras_weights(keras_model, spec)
         source = args.keras_h5 or args.keras_saved_model
     else:
+        spec = get_model(args.model)
         params = init_model(spec, seed=args.seed, randomize_bn=True)
         source = f"random(seed={args.seed})"
 
@@ -56,11 +75,15 @@ def main(argv=None):
         int8_ranges = calibrate_model(spec, params, batches)
 
     layers = convert_model(spec, params, int8_ranges=int8_ranges)
-    save_artifact(args.output, layers, spec.name, {
+    extra = {
         "source": source,
         "int8": bool(int8_ranges),
         "input_size": list(spec.input_size),
-    })
+        "num_classes": spec.num_classes,
+    }
+    if graph_program is not None:
+        extra["graph_program"] = graph_program
+    save_artifact(args.output, layers, spec.name, extra)
     n_bin = sum(1 for l in layers.values() if l["kind"] in ("bconv", "bdense"))
     packed_bytes = sum(
         l["packed_filter"].nbytes if "packed_filter" in l else

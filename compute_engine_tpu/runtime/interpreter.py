@@ -48,8 +48,20 @@ class Interpreter:
         `mlir/python/util.py:176-222`); ``output_mode`` in
         {"probs", "logits", "int8"} controls the output boundary."""
         if artifact_path is not None:
-            name, _, layers = load_artifact(artifact_path)
-            model = model if model is not None else name
+            name, config, layers = load_artifact(artifact_path)
+            if model is None:
+                if isinstance(config, dict) and config.get("graph_program"):
+                    # Self-contained artifact: the graph program travels in
+                    # the header (the flatbuffer analogue — model structure
+                    # + packed weights in one file), so no registry entry or
+                    # Python model definition is needed.
+                    from ..converter.graph_import import spec_from_program
+                    model = spec_from_program(
+                        config["graph_program"],
+                        input_size=config["input_size"],
+                        num_classes=config["num_classes"], name=name)
+                else:
+                    model = name
         if isinstance(model, str):
             model = get_model(model)
         if not isinstance(model, ModelSpec) or layers is None:

@@ -1,0 +1,233 @@
+"""Generic Keras graph importer tests.
+
+The reference converts arbitrary Larq Keras graphs by pattern matching
+(`mlir/python/converter.py:166-280`, `prepare_patterns_common.td:26-127`).
+These tests prove the graph-walking importer covers the zoo topologies by
+re-importing the Keras golden twins WITHOUT their hand-written ModelSpecs:
+the imported spec+params must reproduce the Keras prediction through both
+the float oracle and the packed runtime, and the importer must reject
+unrepresentable graphs with a named-layer error (the reference's
+conversion-failure analogue).
+"""
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+import jax.numpy as jnp  # noqa: E402
+
+from compute_engine_tpu.converter.graph_import import (GraphImportError,  # noqa: E402
+                                                       import_keras_model)
+from compute_engine_tpu.models import (convert_model, float_apply,  # noqa: E402
+                                       packed_apply)
+from compute_engine_tpu.models.zoo import get_model, tiny_quicknet  # noqa: E402
+
+from test_keras_golden import build_keras_twin  # noqa: E402
+
+L = tf.keras.layers
+
+
+def golden_compare_imported(spec_for_twin, rng, batch=2, atol_float=1e-3,
+                            atol_packed=2e-3):
+    """Build the Keras twin from a known spec, then import it back WITHOUT
+    the spec and check both execution paths against the Keras golden."""
+    model, binary_layers = build_keras_twin(spec_for_twin, rng)
+    spec, params = import_keras_model(model)
+    x = rng.normal(0, 1, (batch, *spec.input_size, 3)).astype(np.float32)
+
+    for lname in binary_layers:
+        layer = model.get_layer(lname)
+        (w,) = layer.get_weights()
+        layer.set_weights([np.where(w < 0, -1.0, 1.0).astype(np.float32)])
+    want = model(x, training=False).numpy()
+
+    got_float = np.asarray(float_apply(spec, params, jnp.asarray(x)))
+    np.testing.assert_allclose(got_float, want, atol=atol_float, rtol=1e-2)
+    np.testing.assert_array_equal(got_float.argmax(-1), want.argmax(-1))
+
+    artifact = convert_model(spec, params)
+    got_packed = np.asarray(packed_apply(spec, artifact, jnp.asarray(x),
+                                         compute_dtype=jnp.float32))
+    np.testing.assert_allclose(got_packed, want, atol=atol_packed, rtol=1e-2)
+    np.testing.assert_array_equal(got_packed.argmax(-1), want.argmax(-1))
+    return spec, params
+
+
+def test_import_tiny_quicknet_topology(rng):
+    """Depthwise stem + maxpool transitions + one-padded binary residual
+    blocks, imported from the graph alone."""
+    spec, params = golden_compare_imported(
+        tiny_quicknet(section_filters=(32, 64), section_blocks=(1, 1),
+                      num_classes=10, input_size=32), rng)
+    # The importer must produce binary layers (threshold path exercised).
+    assert any("bn" in v and v["kernel"].ndim == 4 for v in params.values())
+
+
+def test_import_birealnet_topology(rng):
+    """Zero-padded binary convs (incl. stride 2) + avg-pool shortcut convs:
+    the Bi-RealNet pattern, via the graph walker."""
+    from test_keras_golden import test_birealnet_small_golden  # reuse spec
+    from compute_engine_tpu.models.zoo import ModelSpec
+
+    def small_bireal(b, x, num_classes=10):
+        x = b.conv_bn(x, 32, 7, stride=2, name="stem_conv")
+        x = b.max_pool(x, 3, 2)
+        for s, f in enumerate((32, 64)):
+            for i in range(2):
+                stride = 2 if (s > 0 and i == 0) else 1
+                if stride == 2:
+                    shortcut = b.avg_pool(x, 2, 2, padding="SAME")
+                    shortcut = b.conv_bn(shortcut, f, 1, name=f"shortcut_{s}")
+                else:
+                    shortcut = x
+                y = b.binary_conv_bn(x, f, 3, stride=stride, pad_value=0,
+                                     name=f"stage_{s}_block_{i}")
+                x = b.add(shortcut, y)
+        x = b.global_avg_pool(x)
+        x = b.dense(x, num_classes, name="head")
+        return b.softmax(x)
+
+    golden_compare_imported(
+        ModelSpec("small_bireal", small_bireal, input_size=(64, 64),
+                  num_classes=10), rng)
+
+
+def test_import_densenet_topology(rng):
+    """Dense concats + 1x1 reductions + avg-pool transitions + flatten-free
+    head, via the graph walker."""
+    from compute_engine_tpu.models.zoo import ModelSpec
+
+    def small_densenet(b, x, num_classes=10):
+        x = b.conv_bn(x, 32, 7, stride=2, activation="relu",
+                      name="stem_conv")
+        x = b.max_pool(x, 3, 2)
+        for block_idx, n_layers in enumerate((2, 2)):
+            for i in range(n_layers):
+                y = b.binary_conv_bn(x, 32, 3, pad_value=1,
+                                     name=f"block_{block_idx}_layer_{i}")
+                x = b.concat([x, y])
+            if block_idx == 0:
+                x = b.conv_bn(x, 64, 1, activation="relu",
+                              name="transition_0")
+                x = b.avg_pool(x, 2, 2)
+        x = b.activation(x, "relu")
+        x = b.global_avg_pool(x)
+        x = b.dense(x, num_classes, name="head")
+        return b.softmax(x)
+
+    golden_compare_imported(
+        ModelSpec("small_densenet", small_densenet, input_size=(64, 64),
+                  num_classes=10), rng)
+
+
+def test_import_binary_dense_and_flatten(rng):
+    """Binary dense layers after flatten (the BinaryAlexNet tail shape)."""
+    from compute_engine_tpu.models.zoo import ModelSpec
+
+    def alex_tail(b, x, num_classes=10):
+        x = b.conv_bn(x, 16, 3, stride=2, name="stem")
+        x = b.binary_conv_bn(x, 32, 3, pad_value=1, name="c2")
+        x = b.max_pool(x, 3, 2, padding="VALID")
+        x = b.flatten(x)
+        x = b.binary_dense_bn(x, 64, name="fc1")
+        x = b.dense(x, num_classes, name="head")
+        return b.softmax(x)
+
+    golden_compare_imported(
+        ModelSpec("alex_tail", alex_tail, input_size=(32, 32),
+                  num_classes=10), rng)
+
+
+def _functional(body):
+    inp = L.Input((16, 16, 4))
+    return tf.keras.Model(inp, body(inp))
+
+
+def test_rejects_conv_without_bn():
+    with pytest.raises(GraphImportError, match="without a following"):
+        import_keras_model(_functional(
+            lambda x: L.Conv2D(4, 3, use_bias=False)(x)))
+
+
+def test_rejects_conv_bias():
+    def body(x):
+        y = L.Conv2D(4, 3, use_bias=True)(x)
+        return L.BatchNormalization()(y)
+    with pytest.raises(GraphImportError, match="bias"):
+        import_keras_model(_functional(body))
+
+
+def test_rejects_unknown_layer():
+    def body(x):
+        # An elementwise op that is NOT sign/pad/identity.
+        return L.Lambda(lambda t: t * 2.0 + 1.0)(x)
+    with pytest.raises(GraphImportError, match="unsupported layer"):
+        import_keras_model(_functional(body))
+
+
+def test_rejects_unfoldable_pad():
+    def body(x):
+        y = L.Lambda(lambda t: tf.where(t < 0, -tf.ones_like(t),
+                                        tf.ones_like(t)))(x)
+        # 3 rows of one-padding cannot be SAME for a 3x3 stride-1 conv.
+        y = L.Lambda(lambda t: tf.pad(
+            t, [[0, 0], [3, 3], [3, 3], [0, 0]], constant_values=1.0))(y)
+        y = L.Conv2D(4, 3, padding="valid", use_bias=False)(y)
+        return L.BatchNormalization()(y)
+    with pytest.raises(GraphImportError, match="does not match the SAME"):
+        import_keras_model(_functional(body))
+
+
+def test_rejects_sign_into_non_binary_op(rng):
+    def body(x):
+        y = L.Lambda(lambda t: tf.where(t < 0, -tf.ones_like(t),
+                                        tf.ones_like(t)))(x)
+        return L.GlobalAveragePooling2D()(y)
+    with pytest.raises(GraphImportError, match="binary conv/dense"):
+        import_keras_model(_functional(body))
+
+
+def test_program_artifact_round_trip(rng, tmp_path):
+    """The graph program serializes into the artifact header and rebuilds
+    a working spec with NO Python model definition — the self-contained
+    flatbuffer analogue (structure + packed weights in one file)."""
+    import json
+
+    from compute_engine_tpu.converter import save_artifact, spec_from_program
+    from compute_engine_tpu.runtime.interpreter import Interpreter
+
+    twin_spec = tiny_quicknet(section_filters=(32, 64), section_blocks=(1, 1),
+                              num_classes=10, input_size=32)
+    model, _ = build_keras_twin(twin_spec, rng)
+    spec, params = import_keras_model(model)
+
+    # The program must survive a JSON round trip (it IS the artifact form).
+    prog = json.loads(json.dumps(spec.forward.program))
+    spec2 = spec_from_program(prog, input_size=spec.input_size,
+                              num_classes=spec.num_classes)
+    x = rng.normal(0, 1, (2, *spec.input_size, 3)).astype(np.float32)
+    want = np.asarray(float_apply(spec, params, jnp.asarray(x)))
+    got = np.asarray(float_apply(spec2, params, jnp.asarray(x)))
+    np.testing.assert_array_equal(got, want)
+
+    # Full artifact round trip through the Interpreter.
+    layers = convert_model(spec, params)
+    path = str(tmp_path / "imported.npz")
+    save_artifact(path, layers, spec.name, {
+        "graph_program": spec.forward.program,
+        "input_size": list(spec.input_size),
+        "num_classes": spec.num_classes,
+    })
+    interp = Interpreter(artifact_path=path, compute_dtype=jnp.float32)
+    got2 = np.asarray(interp(x))
+    want2 = np.asarray(packed_apply(spec, layers, jnp.asarray(x),
+                                    compute_dtype=jnp.float32))
+    np.testing.assert_allclose(got2, want2, atol=1e-6)
+
+
+def test_full_quicknet_imports(rng):
+    """The production QuickNet twin (224x224, 16 binary blocks) round-trips
+    through the importer with prediction parity — the headline zoo model
+    needs no hand-written spec."""
+    golden_compare_imported(get_model("quicknet"), rng)
