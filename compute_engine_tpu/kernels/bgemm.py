@@ -92,25 +92,29 @@ def _planes_pm1(words, dtype=jnp.bfloat16):
     ]
 
 
-def _unpack_to(scratch_ref, words, row0, kw):
-    """Unpack (kw, n) packed words into scratch rows [row0*32, row0*32+32*kw)."""
-    for j, plane in enumerate(_planes_pm1(words)):
-        scratch_ref[pl.ds(row0 * BITWIDTH + j * kw, kw), :] = plane
+def _acc_dtype(plane_dtype):
+    """MXU accumulator type per operand type: int8 ops accumulate in int32
+    (the 2x-rate MXU path), bf16 in fp32. Both are exact for +-1 operands
+    below 2^24 contraction terms."""
+    return (jnp.int32 if jnp.dtype(plane_dtype) == jnp.dtype(jnp.int8)
+            else jnp.float32)
 
 
-def _chunked_contract(lhs_words, w_ref, kw, chunk_kw):
+def _chunked_contract(lhs_words, w_ref, kw, chunk_kw, plane_dtype):
     """sum_k unpack(lhs)[.., 32k] @ w_ref[32k, ..] in chunk_kw-word slices."""
     acc = None
     for c0 in range(0, kw, chunk_kw):
         c = min(chunk_kw, kw - c0)
         a_unp = jnp.concatenate(
-            _planes_pm1(lhs_words[:, c0:c0 + c]), axis=1)  # (TM, 32c)
+            _planes_pm1(lhs_words[:, c0:c0 + c], plane_dtype),
+            axis=1)  # (TM, 32c)
         # Weight rows for words [c0, c0+c) are bit-major within this call's
         # unpack ordering: plane j of word w lives at row j*kw + w when the
         # whole strip was unpacked at once. To keep chunking composable the
         # scratch is laid out chunk-major: see _unpack_chunks below.
         w = w_ref[pl.ds(c0 * BITWIDTH, c * BITWIDTH), :]
-        t = jnp.dot(a_unp, w, preferred_element_type=jnp.float32)
+        t = jnp.dot(a_unp, w,
+                    preferred_element_type=_acc_dtype(plane_dtype))
         acc = t if acc is None else acc + t
     return acc
 
@@ -119,7 +123,8 @@ def _unpack_chunks(scratch_ref, words, kw, chunk_kw):
     """Unpack (kw, n) words chunk-major so _chunked_contract rows line up."""
     for c0 in range(0, kw, chunk_kw):
         c = min(chunk_kw, kw - c0)
-        for j, plane in enumerate(_planes_pm1(words[c0:c0 + c, :])):
+        for j, plane in enumerate(_planes_pm1(words[c0:c0 + c, :],
+                                              scratch_ref.dtype)):
             scratch_ref[pl.ds(c0 * BITWIDTH + j * c, c), :] = plane
 
 
@@ -127,6 +132,13 @@ def _epilogue(acc, epi_refs, out_ref, *, clamp_min, clamp_max, out_kind):
     """Fused output transform on an fp32 int-valued accumulator tile."""
     if out_kind == "accum":
         out_ref[:, :] = acc
+        return
+    if out_kind == "bits8":
+        # Threshold bits as int8 0/1, packed to words OUTSIDE the kernel —
+        # the fallback when the fused lane-pack epilogue's single-strip
+        # weight scratch cannot fit VMEM (see bgemm's bitpacked branch).
+        (thr_ref,) = epi_refs
+        out_ref[:, :] = (acc > thr_ref[0, :]).astype(jnp.int8)
         return
     if out_kind == "bitpacked":
         # Threshold epilogue (`core/bconv2d/output_transform.h:164-167`)
@@ -138,6 +150,13 @@ def _epilogue(acc, epi_refs, out_ref, *, clamp_min, clamp_max, out_kind):
         bits = (acc > thr_ref[0, :]).astype(jnp.float32)
         lo = jnp.dot(bits, lo_ref[:, :], preferred_element_type=jnp.float32)
         hi = jnp.dot(bits, hi_ref[:, :], preferred_element_type=jnp.float32)
+        # RUY_DCHECK analogue (`core/bgemm/kernels.h:35-44`): each lane-pack
+        # dot sums <=16 power-of-two terms, so it must be an exact uint16.
+        pl.debug_check(
+            jnp.all((lo >= 0) & (lo < 65536.0)
+                    & (hi >= 0) & (hi < 65536.0)),
+            "bgemm: lane-pack dot outside uint16 range — pack-matrix "
+            "invariant broken")
         # Mosaic has no f32->u32 cast; assemble in int32 (the <<16 wraps into
         # the sign bit, which is exactly the bitwise intent) and bitcast to
         # uint32 outside the kernel.
@@ -161,13 +180,14 @@ def _epilogue(acc, epi_refs, out_ref, *, clamp_min, clamp_max, out_kind):
 
 
 def _bgemm_kernel(lhs_ref, rhs_ref, *rest, clamp_min: int, clamp_max: int,
-                  out_kind: str, total_bits: int, chunk_kw: int):
+                  out_kind: str, total_bits: int, chunk_kw: int,
+                  plane_dtype):
     """Grid step (j, i): one (block_m, block_n) output tile.
 
     lhs_ref: (block_m, KW) packed at M tile i; rhs_ref: (KW, block_n) packed
     at N strip j; ``rest`` holds per-out_kind epilogue operands (see
-    ``bgemm``), then out_ref and the persistent (32*KW, block_n) bf16 weight
-    scratch (unpacked once per N strip, at the first M step).
+    ``bgemm``), then out_ref and the persistent (32*KW, block_n) weight
+    scratch in plane_dtype (unpacked once per N strip, at the first M step).
     """
     *epi_refs, out_ref, w_ref = rest
     kw = rhs_ref.shape[0]
@@ -176,7 +196,16 @@ def _bgemm_kernel(lhs_ref, rhs_ref, *rest, clamp_min: int, clamp_max: int,
     def _():
         _unpack_chunks(w_ref, rhs_ref[:, :], kw, chunk_kw)
 
-    t = _chunked_contract(lhs_ref[:, :], w_ref, kw, chunk_kw)
+    t = _chunked_contract(lhs_ref[:, :], w_ref, kw, chunk_kw, plane_dtype)
+    # Debug assertion (compiled out unless pl.enable_debug_checks — the
+    # RUY_DCHECK model, `core/bgemm/kernels.h:35-44`): a +-1 contraction of
+    # total_bits terms is bounded by total_bits; a violation means the
+    # unpack, the K/total_bits accounting, or the zero-padding-bit contract
+    # (`bitpack.h:238-244`) broke inside the kernel.
+    pl.debug_check(
+        jnp.all(jnp.abs(t) <= t.dtype.type(total_bits)),
+        "bgemm: |pm1 contraction| > total_bits — unpack/total_bits "
+        "accounting broken")
     # Exact accumulator: accum = (32*KW - t) / 2 (see module docstring).
     acc = ((total_bits - t.astype(jnp.int32)) // 2).astype(jnp.int32)
     _epilogue(acc, epi_refs, out_ref, clamp_min=clamp_min,
@@ -185,27 +214,29 @@ def _bgemm_kernel(lhs_ref, rhs_ref, *rest, clamp_min: int, clamp_max: int,
 
 def _bgemm_kernel_bigk(lhs_ref, rhs_ref, *rest, clamp_min: int,
                        clamp_max: int, out_kind: str, total_bits: int,
-                       chunk_kw: int, num_k: int, block_kw: int, kw: int):
+                       chunk_kw: int, num_k: int, block_kw: int, kw: int,
+                       plane_dtype):
     """Grid step (i, j, k): K-blocked fallback for K beyond VMEM capacity.
 
-    Partial +-1 dot products accumulate in fp32 scratch across K steps (the
-    weight strip no longer fits VMEM whole, so weights are unpacked per
-    step); the epilogue runs at the last K step. Analogue of ruy's
-    depth-blocked TrMul traversal for deep GEMMs.
+    Partial +-1 dot products accumulate in an accumulator scratch across K
+    steps (the weight strip no longer fits VMEM whole, so weights are
+    unpacked per step); the epilogue runs at the last K step. Analogue of
+    ruy's depth-blocked TrMul traversal for deep GEMMs.
     """
     *epi_refs, out_ref, acc_ref = rest
     k_id = pl.program_id(2)
     this_kw = lhs_ref.shape[1]
+    adt = _acc_dtype(plane_dtype)
 
     # Unpack + contract in chunk_kw slices to bound temporaries.
     t = None
     for c0 in range(0, this_kw, chunk_kw):
         c = min(chunk_kw, this_kw - c0)
         a_unp = jnp.concatenate(
-            _planes_pm1(lhs_ref[:, c0:c0 + c]), axis=1)
+            _planes_pm1(lhs_ref[:, c0:c0 + c], plane_dtype), axis=1)
         w_unp = jnp.concatenate(
-            _planes_pm1(rhs_ref[c0:c0 + c, :]), axis=0)
-        p = jnp.dot(a_unp, w_unp, preferred_element_type=jnp.float32)
+            _planes_pm1(rhs_ref[c0:c0 + c, :], plane_dtype), axis=0)
+        p = jnp.dot(a_unp, w_unp, preferred_element_type=adt)
         t = p if t is None else t + p
     # Mask out the contribution of K-padding words beyond the true KW: the
     # grid pads K to num_k*block_kw with zero words in BOTH operands, each
@@ -222,7 +253,15 @@ def _bgemm_kernel_bigk(lhs_ref, rhs_ref, *rest, clamp_min: int,
 
     @pl.when(is_last)
     def _():
-        total = acc_ref[:, :] - np.float32(pad_words * BITWIDTH)
+        total = acc_ref[:, :] - acc_ref.dtype.type(pad_words * BITWIDTH)
+        # Debug assertion: after removing the K-padding words' +1*+1
+        # contribution, the contraction must be bounded by the REAL bit
+        # count — trips if pad_words accounting (num_k*block_kw vs kw)
+        # drifts from the actual grid padding.
+        pl.debug_check(
+            jnp.all(jnp.abs(total) <= acc_ref.dtype.type(total_bits)),
+            "bgemm bigk: pad_words accounting broken — corrected "
+            "contraction exceeds 32*KW")
         acc = ((total_bits - total.astype(jnp.int32)) // 2).astype(jnp.int32)
         _epilogue(acc, epi_refs, out_ref, clamp_min=clamp_min,
                   clamp_max=clamp_max, out_kind=out_kind)
@@ -241,14 +280,18 @@ def _pack_matrices(n):
     return lo, hi
 
 
-def _pick_blocks(m, kw, n, vmem_budget=_WEIGHT_SCRATCH_BUDGET):
+def _pick_blocks(m, kw, n, vmem_budget=None, plane_bytes=2):
     """Choose (block_m, block_n, block_kw, num_k) under the VMEM budget.
 
     block_n is the largest multiple of 128 (<= 512) whose full-K weight strip
-    (32*KW, block_n) bf16 fits ``vmem_budget``; if none fits, K is blocked
-    into the largest block_kw that fits at block_n=128.
+    (32*KW, block_n) bf16 fits ``vmem_budget`` (default: the module's
+    _WEIGHT_SCRATCH_BUDGET, read at call time so tests can force the big-K
+    path); if none fits, K is blocked into the largest block_kw that fits at
+    block_n=128.
     """
-    strip_bytes_per_col = BITWIDTH * kw * 2
+    if vmem_budget is None:
+        vmem_budget = _WEIGHT_SCRATCH_BUDGET
+    strip_bytes_per_col = BITWIDTH * kw * plane_bytes
     block_n = 128
     for cand in (512, 384, 256, 128):
         if cand * strip_bytes_per_col <= vmem_budget:
@@ -258,8 +301,8 @@ def _pick_blocks(m, kw, n, vmem_budget=_WEIGHT_SCRATCH_BUDGET):
         num_k, block_kw = 1, kw
     else:
         block_kw = max(_CHUNK_KW,
-                       (vmem_budget // (128 * BITWIDTH * 2)) // _CHUNK_KW
-                       * _CHUNK_KW)
+                       (vmem_budget // (128 * BITWIDTH * plane_bytes))
+                       // _CHUNK_KW * _CHUNK_KW)
         num_k = _cdiv(kw, block_kw)
         block_n = 128
     # 32-row multiples keep int8/bitpacked output tiles on natural sublane
@@ -271,12 +314,12 @@ def _pick_blocks(m, kw, n, vmem_budget=_WEIGHT_SCRATCH_BUDGET):
 @functools.partial(
     jax.jit,
     static_argnames=("clamp_min", "clamp_max", "out_kind", "block_m",
-                     "block_n"),
+                     "block_n", "plane_dtype"),
 )
 def bgemm(lhs, rhs, multiplier=None, bias=None, thresholds=None, *,
           clamp_min: int = -(2 ** 31) + 1, clamp_max: int = 2 ** 31 - 1,
           out_kind: str = "float", block_m: int | None = None,
-          block_n: int | None = None):
+          block_n: int | None = None, plane_dtype=jnp.bfloat16):
     """Binary GEMM on packed words with fused output transform.
 
     Args:
@@ -290,6 +333,10 @@ def bgemm(lhs, rhs, multiplier=None, bias=None, thresholds=None, *,
         xor-popcount accumulators).
       block_m, block_n: optional tile overrides (defaults picked to fit the
         VMEM budget; see _pick_blocks).
+      plane_dtype: dtype of the unpacked +-1 planes fed to the MXU —
+        ``jnp.bfloat16`` (fp32 accumulation) or ``jnp.int8`` (int32
+        accumulation at the MXU's 2x int8 rate, and half the weight-scratch
+        VMEM). Both are exact for +-1 operands (see module docstring).
 
     Returns (M, N) float32/int8/int32, or (M, ceil(N/32)) uint32.
     """
@@ -297,10 +344,32 @@ def bgemm(lhs, rhs, multiplier=None, bias=None, thresholds=None, *,
     kw2, n = rhs.shape
     assert kw == kw2, (kw, kw2)
     assert lhs.dtype == PACKED_DTYPE and rhs.dtype == PACKED_DTYPE
+    plane_dtype = jnp.dtype(plane_dtype).type
+    plane_bytes = jnp.dtype(plane_dtype).itemsize
 
-    bm, bn, block_kw, num_k = _pick_blocks(m, kw, n)
+    bm, bn, block_kw, num_k = _pick_blocks(m, kw, n,
+                                           plane_bytes=plane_bytes)
     block_m = bm if block_m is None else min(block_m, _round_up(m, 32))
     block_n = bn if block_n is None else block_n
+
+    pack_outside = False
+    if out_kind == "bitpacked":
+        # The fused lane-pack epilogue writes (block_m, block_n/32) word
+        # tiles; Mosaic requires the last block dim to be 128-divisible or
+        # equal to the full array dim, and words-per-strip can never reach
+        # 128 — so the N grid must be a SINGLE full-width strip. Allow the
+        # weight scratch a relaxed budget for it; when even that cannot fit
+        # (huge N*K, e.g. packed-domain 4096-wide fc layers), compute int8
+        # 0/1 bits in-kernel (block-friendly) and pack to words outside.
+        np128 = _round_up(n, 128)
+        strip_bytes = BITWIDTH * kw * np128 * plane_bytes
+        if strip_bytes <= 2 * _WEIGHT_SCRATCH_BUDGET:
+            block_n = np128
+            num_k, block_kw = 1, kw
+        else:
+            pack_outside = True
+            out_kind = "bits8"
+
     mp = _round_up(m, block_m)
     np_ = _round_up(n, block_n)
     num_i, num_j = mp // block_m, np_ // block_n
@@ -319,6 +388,12 @@ def bgemm(lhs, rhs, multiplier=None, bias=None, thresholds=None, *,
     if out_kind == "accum":
         epi, epi_specs = [], []
         out_dtype, out_cols, out_bn = jnp.int32, np_, block_n
+    elif out_kind == "bits8":
+        thr_p = jnp.pad(thresholds.astype(jnp.int32), (0, np_ - n),
+                        constant_values=np.int32(2 ** 31 - 1)).reshape(1, np_)
+        epi = [thr_p]
+        epi_specs = [row_spec]
+        out_dtype, out_cols, out_bn = jnp.int8, np_, block_n
     elif out_kind == "bitpacked":
         # Padded channels get threshold +inf => always a 0 bit, so the
         # padding bits of the last real word stay 0 (`bitpack.h:238-244`).
@@ -361,7 +436,8 @@ def bgemm(lhs, rhs, multiplier=None, bias=None, thresholds=None, *,
     if num_k == 1:
         kernel = functools.partial(
             _bgemm_kernel, clamp_min=clamp_min, clamp_max=clamp_max,
-            out_kind=out_kind, total_bits=BITWIDTH * kw, chunk_kw=_CHUNK_KW)
+            out_kind=out_kind, total_bits=BITWIDTH * kw, chunk_kw=_CHUNK_KW,
+            plane_dtype=plane_dtype)
         grid = (num_j, num_i)
         in_specs = [
             pl.BlockSpec((block_m, kw), lambda j, i: (i, 0),
@@ -372,12 +448,12 @@ def bgemm(lhs, rhs, multiplier=None, bias=None, thresholds=None, *,
         ]
         out_spec = pl.BlockSpec((block_m, out_bn), lambda j, i: (i, j),
                                 memory_space=pltpu.VMEM)
-        scratch = [pltpu.VMEM((BITWIDTH * kw, block_n), jnp.bfloat16)]
+        scratch = [pltpu.VMEM((BITWIDTH * kw, block_n), plane_dtype)]
     else:
         kernel = functools.partial(
             _bgemm_kernel_bigk, clamp_min=clamp_min, clamp_max=clamp_max,
             out_kind=out_kind, total_bits=BITWIDTH * kw, chunk_kw=_CHUNK_KW,
-            num_k=num_k, block_kw=block_kw, kw=kw)
+            num_k=num_k, block_kw=block_kw, kw=kw, plane_dtype=plane_dtype)
         grid = (num_i, num_j, num_k)
         in_specs = [
             pl.BlockSpec((block_m, block_kw), lambda i, j, k: (i, k),
@@ -388,7 +464,7 @@ def bgemm(lhs, rhs, multiplier=None, bias=None, thresholds=None, *,
         ]
         out_spec = pl.BlockSpec((block_m, out_bn), lambda i, j, k: (i, j),
                                 memory_space=pltpu.VMEM)
-        scratch = [pltpu.VMEM((block_m, block_n), jnp.float32)]
+        scratch = [pltpu.VMEM((block_m, block_n), _acc_dtype(plane_dtype))]
 
     out = pl.pallas_call(
         kernel,
@@ -405,4 +481,13 @@ def bgemm(lhs, rhs, multiplier=None, bias=None, thresholds=None, *,
     if out_kind == "bitpacked":
         return jax.lax.bitcast_convert_type(
             out[:m, :packed_size(n)], PACKED_DTYPE)
+    if pack_outside:
+        # Pack the int8 0/1 bits to words in XLA (LSB-first, padding bits 0
+        # — `bitpack.h:238-244`). XLA fuses the shift/sum into the kernel's
+        # consumer, so the extra pass touches int8 bits, not int32 words.
+        nw_t = packed_size(n)
+        bits = jnp.pad(out[:m, :n], ((0, 0), (0, nw_t * BITWIDTH - n)))
+        lanes = jnp.arange(BITWIDTH, dtype=jnp.uint32)
+        return (bits.reshape(m, nw_t, BITWIDTH).astype(jnp.uint32)
+                << lanes).sum(axis=-1, dtype=jnp.uint32)
     return out[:m, :n]

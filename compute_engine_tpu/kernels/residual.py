@@ -109,6 +109,13 @@ def _block_kernel(x_ref, w_ref, mul_ref, bias_ref, out_ref, *, nb, h, w, c,
             t = t + jax.lax.dot_general(
                 taps[i], w_ref[i], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
+    # Debug assertion (RUY_DCHECK analogue, compiled out unless
+    # pl.enable_debug_checks): the +-1 conv of K = 9*C taps is bounded by
+    # K — trips if the tap-matrix construction or the literal one-padding
+    # produced values outside the sign domain.
+    pl.debug_check(jnp.all(jnp.abs(t) <= jnp.int32(k)),
+                   "residual: |pm1 conv| > K — tap matrix or one-padding "
+                   "invariant broken")
     # t == the +-1 conv result (K - 2*accum); the float transform expressed
     # on it directly: clip(2*accum) == clip(K - t) exactly.
     y = jnp.clip(k - t, clamp_min, clamp_max).astype(jnp.float32)

@@ -110,15 +110,18 @@ def _accum_oracle(lhs, rhs):
     # fp32 partial accumulation and pad-word correction.
     (40, 600, 96),
 ])
-def test_bgemm_accum_matches_numpy(m, kw, n, rng):
-    """Raw accumulator output vs a numpy xor-popcount oracle."""
+@pytest.mark.parametrize("plane_dtype", ["bfloat16", "int8"])
+def test_bgemm_accum_matches_numpy(m, kw, n, plane_dtype, rng):
+    """Raw accumulator output vs a numpy xor-popcount oracle, for both MXU
+    operand types (bf16/fp32-accum and int8/int32-accum — the 2x-rate
+    path)."""
     from compute_engine_tpu.kernels.bgemm import _pick_blocks
 
     lhs = rng.integers(0, 2 ** 32, size=(m, kw), dtype=np.uint32)
     rhs = rng.integers(0, 2 ** 32, size=(kw, n), dtype=np.uint32)
     want = _accum_oracle(lhs, rhs)
     got = np.asarray(bgemm(jnp.asarray(lhs), jnp.asarray(rhs),
-                           out_kind="accum"))
+                           out_kind="accum", plane_dtype=plane_dtype))
     np.testing.assert_array_equal(got, want)
     if kw == 600:
         # Guard: this case must actually hit the K-blocked path.
@@ -135,13 +138,44 @@ def test_bgemm_bitpacked_alignment_sweep(n, rng):
     rhs = rng.integers(0, 2 ** 32, size=(kw, n), dtype=np.uint32)
     accum = _accum_oracle(lhs, rhs)
     thr = rng.integers(kw * 16 - 20, kw * 16 + 20, n).astype(np.int32)
-    got = np.asarray(bgemm(jnp.asarray(lhs), jnp.asarray(rhs),
-                           thresholds=jnp.asarray(thr),
-                           out_kind="bitpacked"))
     bits = (accum > thr).astype(np.uint32)
     want = np.zeros((m, -(-n // 32)), np.uint32)
     for j in range(n):
         want[:, j // 32] |= bits[:, j] << (j % 32)
+    for plane_dtype in ("bfloat16", "int8"):
+        got = np.asarray(bgemm(jnp.asarray(lhs), jnp.asarray(rhs),
+                               thresholds=jnp.asarray(thr),
+                               out_kind="bitpacked",
+                               plane_dtype=plane_dtype))
+        np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("m,kw,n", [
+    # Packed-domain 512-channel 3x3 conv GEMM: words-per-strip (block_n/32)
+    # can never be 128-divisible, so the N grid must be one full strip —
+    # the Mosaic violation the round-4 autotune exposed on real TPU.
+    (16, 144, 512),
+    # 4096-wide fc GEMM: the single-strip weight scratch exceeds even the
+    # relaxed VMEM budget -> int8-bits epilogue + outside word packing.
+    (16, 288, 4096),
+])
+def test_bgemm_bitpacked_wide_shapes(m, kw, n, rng):
+    from compute_engine_tpu.kernels import bgemm as bgemm_mod
+
+    lhs = rng.integers(0, 2 ** 32, size=(m, kw), dtype=np.uint32)
+    rhs = rng.integers(0, 2 ** 32, size=(kw, n), dtype=np.uint32)
+    accum = _accum_oracle(lhs, rhs)
+    thr = rng.integers(kw * 16 - 30, kw * 16 + 30, n).astype(np.int32)
+    bits = (accum > thr).astype(np.uint32)
+    want = np.zeros((m, -(-n // 32)), np.uint32)
+    for j in range(n):
+        want[:, j // 32] |= bits[:, j] << (j % 32)
+    strip = 32 * kw * n * 2
+    assert (strip <= 2 * bgemm_mod._WEIGHT_SCRATCH_BUDGET) == (n == 512), \
+        "test shapes must cover both the single-strip and bits8 paths"
+    got = np.asarray(bgemm(jnp.asarray(lhs), jnp.asarray(rhs),
+                           thresholds=jnp.asarray(thr),
+                           out_kind="bitpacked"))
     np.testing.assert_array_equal(got, want)
 
 
