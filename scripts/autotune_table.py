@@ -54,8 +54,10 @@ def main():
     elif args.quick:
         configs = [(128, "float")]
     else:
-        configs = [(128, "float"), (8, "float"),
-                   (128, "bitpacked"), (8, "bitpacked")]
+        # batch 1 covers the serving/p50 regime (VERDICT r3 #6): MXU-fill
+        # tradeoffs differ at M = out_h*out_w and s2d gets its one fair shot.
+        configs = [(128, "float"), (8, "float"), (1, "float"),
+                   (128, "bitpacked"), (8, "bitpacked"), (1, "bitpacked")]
 
     raw = {}
     for batch, out_kind in configs:
