@@ -6,14 +6,18 @@ TPU-native counterpart of the reference's ruy-based BGemm stack
 than translated:
 
 * On ARM CPUs, xor+popcount is the fastest way to contract 1-bit operands.
-  On TPU, the MXU systolic array multiplies +-1 bf16 operands an order of
+  On TPU, the MXU systolic array multiplies +-1 operands an order of
   magnitude faster than the VPU can popcount, and the +-1 product identity
       dot_pm1(a, b) = K - 2 * xor_popcount_accum(a, b)
-  makes the two exactly interchangeable (products are exact in bf16 and the
-  MXU accumulates in fp32, exact below 2^24).
+  makes the two exactly interchangeable. Planes default to **int8 with
+  int32 accumulation** — the MXU's 2x int8 rate and half the scratch VMEM
+  of bf16 (measured 1.3-1.8x end-to-end, round 4); ``plane_dtype`` can
+  select bf16/fp32-accum instead. Both are exact for +-1 operands (int32
+  trivially; bf16 products are exact and fp32 accumulation is exact below
+  2^24 terms).
 * The operands stay **bitpacked in HBM and VMEM** (32x compression — the
   entire point of a BNN engine); each kernel invocation unpacks words to +-1
-  bf16 *bit-planes* in VMEM/registers and feeds the MXU.
+  *bit-planes* in VMEM/registers and feeds the MXU.
 * The fused epilogues (clamp -> mul -> bias, int8 round/saturate, threshold
   compare — `kernels_aarch64.h:87-91`'s asm-if variants) run on the VPU on
   the fp32 tile before it is written back.
@@ -21,20 +25,26 @@ than translated:
 Tiling (the TPU analogue of ruy TrMul's cache-blocked traversal +
 `select_kernel.h`'s depth-blocked microkernels):
 
-* The grid tiles N into ``block_n`` columns and M into ``block_m`` rows, with
-  the M dimension iterating fastest, so the weight strip for one N tile is
-  unpacked into persistent VMEM scratch exactly once (at the first M step)
-  and reused for every M tile — the VPU unpack cost is O(K*N) total while
-  the MXU does O(M*N*K).
+* The LHS is fed **K-major** (KW, M): with M in the lane dimension, every
+  unpack shift/mask runs at full 128-lane VPU occupancy regardless of KW.
+  The previous M-major layout put KW (9-18 words on zoo conv shapes) in
+  lanes and wasted ~90% of every unpack op — measured 6x slower end-to-end
+  on the 56x56x64 conv GEMM (BENCHMARKS.md round-4). The contraction is a
+  transposed-LHS ``dot_general`` over the sublane dims, native on the MXU.
+* The grid tiles N into ``block_n`` columns and M into ``block_m`` lanes,
+  with the M dimension iterating fastest, so the weight strip for one N
+  tile is unpacked into persistent VMEM scratch exactly once (at the first
+  M step) and reused for every M tile — the VPU unpack cost is O(K*N)
+  total while the MXU does O(M*N*K).
 * Inside a step, the packed LHS tile is unpacked and contracted in
   ``chunk_kw``-word K slices, bounding the unpacked-activation temporary to
-  (block_m, 32*chunk_kw) bf16 regardless of K.
-* ``block_n`` is chosen so the weight scratch (32*KW, block_n) bf16 fits a
-  fixed VMEM budget. If K is so large that even the minimum block_n cannot
-  fit a full-K strip, the grid gains a third K dimension and partial products
-  accumulate in an fp32 VMEM scratch across K steps (weights are then
-  unpacked per step — the unavoidable cost of K far beyond the zoo family's
-  shapes).
+  (32*chunk_kw, block_m) planes regardless of K.
+* ``block_n`` is chosen so the weight scratch (32*KW, block_n) fits a fixed
+  VMEM budget. If K is so large that even the minimum block_n cannot fit a
+  full-K strip, the grid gains a third K dimension and partial products
+  accumulate in an accumulator VMEM scratch across K steps (weights are
+  then unpacked per step — the unavoidable cost of K far beyond the zoo
+  family's shapes).
 
 Bit-plane trick: the contraction order over the K*32 unpacked positions is
 irrelevant as long as LHS and RHS agree, so words are unpacked bit-major
@@ -63,7 +73,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.types import BITWIDTH, PACKED_DTYPE, packed_size
 
-# VMEM budget for the persistent unpacked-weight scratch (bf16). v5e has
+# VMEM budget for the persistent unpacked-weight scratch. v5e has
 # ~16 MB of VMEM per core; this leaves room for the double-buffered input
 # blocks, the unpacked-LHS temporary and the output tile.
 _WEIGHT_SCRATCH_BUDGET = 4 * 1024 * 1024
@@ -100,21 +110,30 @@ def _acc_dtype(plane_dtype):
             else jnp.float32)
 
 
-def _chunked_contract(lhs_words, w_ref, kw, chunk_kw, plane_dtype):
-    """sum_k unpack(lhs)[.., 32k] @ w_ref[32k, ..] in chunk_kw-word slices."""
+def _chunked_contract(lhs_ref, w_ref, kw, chunk_kw, plane_dtype):
+    """sum_k unpack(lhsT)[32k, ..]^T @ w_ref[32k, ..] in chunk_kw slices.
+
+    ``lhs_ref`` is the K-MAJOR (KW, block_m) packed tile: unpacking then
+    runs shift/mask ops whose minor (lane) dimension is block_m >= 128 —
+    full VPU lane occupancy — instead of the KW-minor layout whose planes
+    wasted (128 - KW)/128 of every vector op on zoo conv shapes (KW of
+    9-18 words left lanes ~90% idle; measured 6x end-to-end on the
+    56x56x64 conv GEMM, see BENCHMARKS.md round-4). The contraction is a
+    transposed-LHS dot_general (contract sublane dim of both operands),
+    which the MXU executes natively.
+    """
     acc = None
     for c0 in range(0, kw, chunk_kw):
         c = min(chunk_kw, kw - c0)
-        a_unp = jnp.concatenate(
-            _planes_pm1(lhs_words[:, c0:c0 + c], plane_dtype),
-            axis=1)  # (TM, 32c)
-        # Weight rows for words [c0, c0+c) are bit-major within this call's
-        # unpack ordering: plane j of word w lives at row j*kw + w when the
-        # whole strip was unpacked at once. To keep chunking composable the
-        # scratch is laid out chunk-major: see _unpack_chunks below.
+        # Planes stacked along the sublane dim: row j*c + w for word w,
+        # bit j — the same chunk-major order _unpack_chunks writes.
+        a_t = jnp.concatenate(
+            _planes_pm1(lhs_ref[pl.ds(c0, c), :], plane_dtype),
+            axis=0)  # (32c, TM)
         w = w_ref[pl.ds(c0 * BITWIDTH, c * BITWIDTH), :]
-        t = jnp.dot(a_unp, w,
-                    preferred_element_type=_acc_dtype(plane_dtype))
+        t = jax.lax.dot_general(
+            a_t, w, (((0,), (0,)), ((), ())),
+            preferred_element_type=_acc_dtype(plane_dtype))
         acc = t if acc is None else acc + t
     return acc
 
@@ -184,10 +203,12 @@ def _bgemm_kernel(lhs_ref, rhs_ref, *rest, clamp_min: int, clamp_max: int,
                   plane_dtype):
     """Grid step (j, i): one (block_m, block_n) output tile.
 
-    lhs_ref: (block_m, KW) packed at M tile i; rhs_ref: (KW, block_n) packed
-    at N strip j; ``rest`` holds per-out_kind epilogue operands (see
-    ``bgemm``), then out_ref and the persistent (32*KW, block_n) weight
-    scratch in plane_dtype (unpacked once per N strip, at the first M step).
+    lhs_ref: (KW, block_m) K-major packed tile at M tile i (M lives in
+    lanes for full-occupancy unpacking — see _chunked_contract); rhs_ref:
+    (KW, block_n) packed at N strip j; ``rest`` holds per-out_kind epilogue
+    operands (see ``bgemm``), then out_ref and the persistent
+    (32*KW, block_n) weight scratch in plane_dtype (unpacked once per N
+    strip, at the first M step).
     """
     *epi_refs, out_ref, w_ref = rest
     kw = rhs_ref.shape[0]
@@ -196,7 +217,7 @@ def _bgemm_kernel(lhs_ref, rhs_ref, *rest, clamp_min: int, clamp_max: int,
     def _():
         _unpack_chunks(w_ref, rhs_ref[:, :], kw, chunk_kw)
 
-    t = _chunked_contract(lhs_ref[:, :], w_ref, kw, chunk_kw, plane_dtype)
+    t = _chunked_contract(lhs_ref, w_ref, kw, chunk_kw, plane_dtype)
     # Debug assertion (compiled out unless pl.enable_debug_checks — the
     # RUY_DCHECK model, `core/bgemm/kernels.h:35-44`): a +-1 contraction of
     # total_bits terms is bounded by total_bits; a violation means the
@@ -225,18 +246,21 @@ def _bgemm_kernel_bigk(lhs_ref, rhs_ref, *rest, clamp_min: int,
     """
     *epi_refs, out_ref, acc_ref = rest
     k_id = pl.program_id(2)
-    this_kw = lhs_ref.shape[1]
+    this_kw = lhs_ref.shape[0]
     adt = _acc_dtype(plane_dtype)
 
-    # Unpack + contract in chunk_kw slices to bound temporaries.
+    # Unpack + contract in chunk_kw slices to bound temporaries. Both
+    # operands are K-major; planes stack along the sublane (K) dim in the
+    # same order, and the MXU contracts the sublane dims directly.
     t = None
     for c0 in range(0, this_kw, chunk_kw):
         c = min(chunk_kw, this_kw - c0)
-        a_unp = jnp.concatenate(
-            _planes_pm1(lhs_ref[:, c0:c0 + c], plane_dtype), axis=1)
+        a_t = jnp.concatenate(
+            _planes_pm1(lhs_ref[pl.ds(c0, c), :], plane_dtype), axis=0)
         w_unp = jnp.concatenate(
-            _planes_pm1(rhs_ref[c0:c0 + c, :], plane_dtype), axis=0)
-        p = jnp.dot(a_unp, w_unp, preferred_element_type=adt)
+            _planes_pm1(rhs_ref[pl.ds(c0, c), :], plane_dtype), axis=0)
+        p = jax.lax.dot_general(a_t, w_unp, (((0,), (0,)), ((), ())),
+                                preferred_element_type=adt)
         t = p if t is None else t + p
     # Mask out the contribution of K-padding words beyond the true KW: the
     # grid pads K to num_k*block_kw with zero words in BOTH operands, each
@@ -305,9 +329,11 @@ def _pick_blocks(m, kw, n, vmem_budget=None, plane_bytes=2):
                        // _CHUNK_KW * _CHUNK_KW)
         num_k = _cdiv(kw, block_kw)
         block_n = 128
-    # 32-row multiples keep int8/bitpacked output tiles on natural sublane
-    # boundaries (int8 min tile is (32, 128)).
-    block_m = min(256, _round_up(m, 32))
+    # M lives in the LANE dim of the K-major LHS tile, so block_m must be a
+    # 128 multiple; 1024 balances grid-step amortisation against the
+    # (block_m, block_n) fp32 output tile's VMEM (measured: 2048 is ~2%
+    # faster than 1024 on the 56x56 conv GEMM but doubles the out tile).
+    block_m = min(1024, _round_up(m, 128))
     return block_m, block_n, block_kw, num_k
 
 
@@ -319,7 +345,7 @@ def _pick_blocks(m, kw, n, vmem_budget=None, plane_bytes=2):
 def bgemm(lhs, rhs, multiplier=None, bias=None, thresholds=None, *,
           clamp_min: int = -(2 ** 31) + 1, clamp_max: int = 2 ** 31 - 1,
           out_kind: str = "float", block_m: int | None = None,
-          block_n: int | None = None, plane_dtype=jnp.bfloat16):
+          block_n: int | None = None, plane_dtype=jnp.int8):
     """Binary GEMM on packed words with fused output transform.
 
     Args:
@@ -334,9 +360,9 @@ def bgemm(lhs, rhs, multiplier=None, bias=None, thresholds=None, *,
       block_m, block_n: optional tile overrides (defaults picked to fit the
         VMEM budget; see _pick_blocks).
       plane_dtype: dtype of the unpacked +-1 planes fed to the MXU —
-        ``jnp.bfloat16`` (fp32 accumulation) or ``jnp.int8`` (int32
-        accumulation at the MXU's 2x int8 rate, and half the weight-scratch
-        VMEM). Both are exact for +-1 operands (see module docstring).
+        ``jnp.int8`` (default: int32 accumulation at the MXU's 2x int8
+        rate, half the weight-scratch VMEM) or ``jnp.bfloat16`` (fp32
+        accumulation). Both are exact for +-1 operands (module docstring).
 
     Returns (M, N) float32/int8/int32, or (M, ceil(N/32)) uint32.
     """
@@ -349,7 +375,8 @@ def bgemm(lhs, rhs, multiplier=None, bias=None, thresholds=None, *,
 
     bm, bn, block_kw, num_k = _pick_blocks(m, kw, n,
                                            plane_bytes=plane_bytes)
-    block_m = bm if block_m is None else min(block_m, _round_up(m, 32))
+    block_m = (bm if block_m is None
+               else _round_up(min(block_m, _round_up(m, 128)), 128))
     block_n = bn if block_n is None else block_n
 
     pack_outside = False
@@ -374,7 +401,10 @@ def bgemm(lhs, rhs, multiplier=None, bias=None, thresholds=None, *,
     np_ = _round_up(n, block_n)
     num_i, num_j = mp // block_m, np_ // block_n
 
-    lhs_p = jnp.pad(lhs, ((0, mp - m), (0, num_k * block_kw - kw)))
+    # LHS is fed K-MAJOR (KW, M): M in lanes makes the in-kernel unpack run
+    # at full VPU lane occupancy (see _chunked_contract). The transpose is
+    # one XLA pass over the packed (32x-compressed) words.
+    lhs_t = jnp.pad(lhs, ((0, mp - m), (0, num_k * block_kw - kw))).T
     rhs_p = jnp.pad(rhs, ((0, num_k * block_kw - kw), (0, np_ - n)))
 
     # --- epilogue operands, blocked over N ---
@@ -440,7 +470,7 @@ def bgemm(lhs, rhs, multiplier=None, bias=None, thresholds=None, *,
             plane_dtype=plane_dtype)
         grid = (num_j, num_i)
         in_specs = [
-            pl.BlockSpec((block_m, kw), lambda j, i: (i, 0),
+            pl.BlockSpec((kw, block_m), lambda j, i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((kw, block_n), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
@@ -456,7 +486,7 @@ def bgemm(lhs, rhs, multiplier=None, bias=None, thresholds=None, *,
             num_k=num_k, block_kw=block_kw, kw=kw, plane_dtype=plane_dtype)
         grid = (num_i, num_j, num_k)
         in_specs = [
-            pl.BlockSpec((block_m, block_kw), lambda i, j, k: (i, k),
+            pl.BlockSpec((block_kw, block_m), lambda i, j, k: (k, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_kw, block_n), lambda i, j, k: (k, j),
                          memory_space=pltpu.VMEM),
@@ -477,7 +507,7 @@ def bgemm(lhs, rhs, multiplier=None, bias=None, thresholds=None, *,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",) * len(grid)),
         interpret=interpret,
-    )(lhs_p, rhs_p, *epi)
+    )(lhs_t, rhs_p, *epi)
     if out_kind == "bitpacked":
         return jax.lax.bitcast_convert_type(
             out[:m, :packed_size(n)], PACKED_DTYPE)

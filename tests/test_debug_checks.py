@@ -79,9 +79,9 @@ def test_bgemm_bigk_checks_pass(rng):
 def test_broken_total_bits_trips_check():
     """A kernel built with lying total_bits — the internal-accounting bug
     class the assertion guards — must trip the debug check."""
-    m, kw, n = 32, 4, 128
-    lhs = jnp.zeros((m, kw), jnp.uint32)   # all bits 0 => all +1 planes
-    rhs = jnp.zeros((kw, n), jnp.uint32)   # contraction = +32*kw exactly
+    m, kw, n = 128, 4, 128
+    lhs_t = jnp.zeros((kw, m), jnp.uint32)  # all bits 0 => all +1 planes
+    rhs = jnp.zeros((kw, n), jnp.uint32)    # contraction = +32*kw exactly
 
     def build(total_bits):
         kernel = functools.partial(
@@ -92,7 +92,7 @@ def test_broken_total_bits_trips_check():
             kernel,
             grid=(1, 1),
             in_specs=[
-                pl.BlockSpec((m, kw), lambda j, i: (i, 0),
+                pl.BlockSpec((kw, m), lambda j, i: (0, i),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((kw, n), lambda j, i: (0, j),
                              memory_space=pltpu.VMEM),
@@ -105,9 +105,9 @@ def test_broken_total_bits_trips_check():
         )
 
     with pl.enable_debug_checks():
-        err, _ = checkify.checkify(build(BITWIDTH * kw))(lhs, rhs)
+        err, _ = checkify.checkify(build(BITWIDTH * kw))(lhs_t, rhs)
         err.throw()  # honest accounting passes
-        err, _ = checkify.checkify(build(BITWIDTH * kw - 32))(lhs, rhs)
+        err, _ = checkify.checkify(build(BITWIDTH * kw - 32))(lhs_t, rhs)
         with pytest.raises(Exception, match="total_bits"):
             err.throw()
 
