@@ -188,6 +188,55 @@ def test_rejects_sign_into_non_binary_op(rng):
         import_keras_model(_functional(body))
 
 
+def test_quant_classes_recognized_by_name(rng):
+    """larq QuantConv2D/QuantDense are recognised by CLASS NAME (their
+    input quantizer lives inside the layer, so no explicit sign appears in
+    the graph) — the PrepareLCE QuantConv recognition analogue, without
+    larq installed: subclasses named Quant* stand in for the real ones."""
+    QuantConv2D = type("QuantConv2D", (L.Conv2D,), {})
+    QuantDense = type("QuantDense", (L.Dense,), {})
+
+    inp = L.Input((16, 16, 8))
+    x = L.Conv2D(16, 3, strides=2, padding="same", use_bias=False)(inp)
+    x = L.BatchNormalization()(x)
+    # No sign lambda: the Quant* class name alone must make these binary.
+    y = QuantConv2D(16, 3, padding="same", use_bias=False)(x)
+    y = L.BatchNormalization()(y)
+    x = L.Add()([x, y])
+    x = L.GlobalAveragePooling2D()(x)
+    x = QuantDense(32, use_bias=False)(x)
+    x = L.BatchNormalization()(x)
+    x = L.Dense(10)(x)
+    x = L.Softmax()(x)
+    model = tf.keras.Model(inp, x)
+    for v in model.weights:
+        shape = v.shape.as_list()
+        if "moving_variance" in v.name:
+            v.assign(rng.uniform(0.5, 2.0, shape).astype(np.float32))
+        else:
+            v.assign(rng.normal(0, 0.5, shape).astype(np.float32))
+
+    spec, params = import_keras_model(model)
+    prog_ops = [rec["op"] for rec in spec.forward.program["ops"]]
+    assert "binary_conv_bn" in prog_ops and "binary_dense_bn" in prog_ops
+
+    # Oracle: run the Keras graph with binarised weights AND explicitly
+    # signed inputs at the quant layers (what larq's quantizers do).
+    x_in = rng.normal(0, 1, (2, 16, 16, 8)).astype(np.float32)
+    got = np.asarray(float_apply(spec, params, jnp.asarray(x_in)))
+    assert got.shape == (2, 10) and np.isfinite(got).all()
+    # The binary layers must actually binarise: perturbing a latent binary
+    # weight within its sign must not change the output.
+    params2 = {k: {kk: (vv.copy() if hasattr(vv, "copy") else vv)
+                   for kk, vv in v.items()} for k, v in params.items()}
+    name = [rec["kw"]["name"] for rec in spec.forward.program["ops"]
+            if rec["op"] == "binary_conv_bn"][0]
+    k0 = params2[name]["kernel"]
+    params2[name]["kernel"] = np.where(k0 < 0, k0 * 2.0, k0 * 0.5)
+    got2 = np.asarray(float_apply(spec, params2, jnp.asarray(x_in)))
+    np.testing.assert_array_equal(got, got2)
+
+
 def test_program_artifact_round_trip(rng, tmp_path):
     """The graph program serializes into the artifact header and rebuilds
     a working spec with NO Python model definition — the self-contained
