@@ -137,40 +137,28 @@ def train_briefly(spec, params, *, steps=40, batch=32, lr=2e-3, seed=0,
             {"loss_first": losses[0], "loss_last": losses[-1]})
 
 
-class _StatRecordingBuilder(FloatBuilder):
-    """Inference-mode forward (moving statistics) that RECORDS the batch
-    statistics of every BN layer's input — the measurement pass of
-    ``recalibrate_bn_stats``."""
+def recalibrate_bn_stats(spec, params, batches):
+    """Replace BN moving statistics with exact dataset statistics
+    ("precise BN" — classic train-mode collection).
 
-    def __init__(self, params):
-        super().__init__(params)
-        self.batch_stats = {}
+    The EMA snapshot left by brief training is an effective ~3-batch
+    window at momentum 0.7 — a HIGH-VARIANCE estimate of the statistics
+    the QAT forward actually normalised with; in a binarised net that
+    noise parks hidden pre-activations across sign boundaries and the
+    flips cascade (the round-3 Bi-RealNet-18 fixture failed its oracle
+    gate at 0.898 for exactly this reason). This runs the forward in
+    TRAINING mode — every BN normalising with its own batch statistics,
+    exactly the distribution the weights were trained under — over all
+    ``batches``, aggregates each BN input's per-batch (mean, var) exactly
+    (law of total variance over equal-sized batches), and writes the
+    result into the moving stats: a low-variance estimate over the whole
+    calibration set.
 
-    def _apply_bn(self, y, name):
-        axes = tuple(range(y.ndim - 1))
-        self.batch_stats[name] = (jnp.mean(y, axis=axes),
-                                  jnp.var(y, axis=axes))
-        return super()._apply_bn(y, name)
-
-    def softmax(self, x):
-        return x.astype(jnp.float32)  # logits suffice for stat collection
-
-
-def recalibrate_bn_stats(spec, params, batches, passes=2):
-    """Replace BN moving statistics with exact dataset statistics.
-
-    EMA tracking during brief training leaves the moving stats lagging the
-    batch statistics the QAT forward actually normalised with; in a
-    binarised net that residual gap parks hidden pre-activations across
-    sign boundaries and the flips cascade (the round-3 Bi-RealNet-18
-    fixture failed its own oracle gate at 0.898 for exactly this reason —
-    `fixture_gen.log`). This is "precise BN" re-estimation (the standard
-    post-training fix), made self-consistent for BNNs: each pass runs the
-    INFERENCE forward — every BN normalising with the current moving stats,
-    so downstream layers see exactly the activations evaluation will see —
-    while recording each BN input's per-batch (mean, var), aggregates them
-    exactly across batches (law of total variance), and writes them back.
-    A second pass re-measures under the updated upstream statistics.
+    NOTE a self-consistent inference-mode iteration (record stats while
+    normalising with the current MOVING stats, iterate to a fixed point)
+    was tried first and DIVERGES on Bi-RealNet (oracle 0.898 -> 0.273):
+    with real-valued shortcuts the stats -> signs -> stats feedback map is
+    not contractive. Train-mode collection has no feedback loop.
 
     ``batches``: list of input arrays (equal batch sizes for the exact
     aggregation). Returns a new numpy parameter tree.
@@ -179,22 +167,20 @@ def recalibrate_bn_stats(spec, params, batches, passes=2):
 
     @jax.jit
     def stats_of(p, x):
-        b = _StatRecordingBuilder(p)
+        b = TrainBuilder(p)
         spec.forward(b, x)
         return b.batch_stats
 
-    for _ in range(passes):
-        collected = {}
-        for x in batches:
-            for name, (mean, var) in stats_of(params, jnp.asarray(x)).items():
-                collected.setdefault(name, []).append(
-                    (np.asarray(mean), np.asarray(var)))
-        for name, mv in collected.items():
-            means = np.stack([m for m, _ in mv])
-            bvars = np.stack([v for _, v in mv])
-            bn = params[name]["bn"]
-            bn["moving_mean"] = jnp.asarray(means.mean(0))
-            # Law of total variance over equally-sized batches.
-            bn["moving_variance"] = jnp.asarray(bvars.mean(0)
-                                                + means.var(0))
+    collected = {}
+    for x in batches:
+        for name, (mean, var) in stats_of(params, jnp.asarray(x)).items():
+            collected.setdefault(name, []).append(
+                (np.asarray(mean), np.asarray(var)))
+    for name, mv in collected.items():
+        means = np.stack([m for m, _ in mv])
+        bvars = np.stack([v for _, v in mv])
+        bn = params[name]["bn"]
+        bn["moving_mean"] = jnp.asarray(means.mean(0))
+        # Law of total variance over equally-sized batches.
+        bn["moving_variance"] = jnp.asarray(bvars.mean(0) + means.var(0))
     return jax.tree_util.tree_map(np.asarray, params)

@@ -82,12 +82,12 @@ def test_trained_int8_pipeline_top1_agreement(trained_setup):
                      compute_dtype=jnp.bfloat16), oracle) >= 0.98
 
 
-def test_bn_recalibration_self_consistent(trained_setup):
+def test_bn_recalibration_precise_bn(trained_setup):
     """recalibrate_bn_stats must (a) preserve the trained oracle's accuracy
-    and (b) leave the moving stats equal to the inference-mode batch
-    statistics of the data (self-consistency) — the "precise BN" contract
-    that fixes the round-3 Bi-RealNet fixture gate failure."""
-    from compute_engine_tpu.models.train import (_StatRecordingBuilder,
+    and (b) write EXACTLY the aggregated train-mode batch statistics of
+    the calibration set (classic precise-BN contract — the fix for the
+    round-3 Bi-RealNet fixture gate failure)."""
+    from compute_engine_tpu.models.train import (TrainBuilder,
                                                  recalibrate_bn_stats)
 
     trained, protos, x, y, oracle = trained_setup
@@ -98,17 +98,13 @@ def test_bn_recalibration_self_consistent(trained_setup):
     got = float_apply(SPEC, recal, jnp.asarray(x))
     assert (np.asarray(got).argmax(-1) == y).mean() >= 0.99
 
-    # Self-consistency: re-measuring under the written stats reproduces them
-    # to within a fraction of one standard deviation. The fixed point is not
-    # exact in a BNN — updating a BN's stats flips a few downstream signs,
-    # which shifts deeper layers' statistics (measured residual 0.03–0.13 SD
-    # at 1–4 passes on the tiny model) — but a recalibrated tree must be far
-    # inside the EMA-lag regime that broke the round-3 Bi-RealNet fixture.
+    # Exactness: train-mode collection has no dependence on the written
+    # moving stats, so re-collecting must reproduce them to float noise.
     import jax
-    params = jax.tree_util.tree_map(jnp.asarray, dict(recal))
+    params = jax.tree_util.tree_map(jnp.asarray, dict(trained))
     collected = {}
     for xb in batches:
-        b = _StatRecordingBuilder(params)
+        b = TrainBuilder(params)
         SPEC.forward(b, jnp.asarray(xb))
         for name, (mean, var) in b.batch_stats.items():
             collected.setdefault(name, []).append(
@@ -116,12 +112,11 @@ def test_bn_recalibration_self_consistent(trained_setup):
     for name, mv in collected.items():
         means = np.stack([m for m, _ in mv])
         bvars = np.stack([v for _, v in mv])
-        sd = np.sqrt(np.asarray(recal[name]["bn"]["moving_variance"]))
-        dmean = np.abs(recal[name]["bn"]["moving_mean"] - means.mean(0))
-        dvar = np.abs(recal[name]["bn"]["moving_variance"]
-                      - (bvars.mean(0) + means.var(0)))
-        assert (dmean / np.maximum(sd, 1e-6)).max() < 0.25, name
-        assert (dvar / np.maximum(sd ** 2, 1e-6)).max() < 0.25, name
+        np.testing.assert_allclose(recal[name]["bn"]["moving_mean"],
+                                   means.mean(0), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(recal[name]["bn"]["moving_variance"],
+                                   bvars.mean(0) + means.var(0),
+                                   rtol=1e-4, atol=1e-5)
 
 
 def test_evaluate_harness_end_to_end(trained_setup):
