@@ -45,7 +45,9 @@ def _iterated_forward(spec, static, kernel, compute_dtype, iters,
         out = packed_apply(spec, layers, x, kernel=kernel,
                            compute_dtype=compute_dtype,
                            binary_dtype=binary_dtype)
-        return jnp.mean(out)
+        # f32 carry regardless of model output dtype (headless prefix
+        # models — section_profile — end in bf16 activations).
+        return jnp.mean(out).astype(jnp.float32)
 
     def run(arrays, x):
         layers = merge_arrays(static, arrays)

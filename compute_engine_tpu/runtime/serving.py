@@ -56,9 +56,16 @@ class ServingEngine:
         self._thread.start()
 
     def submit(self, image) -> Future:
-        """Enqueue one (H, W, 3) image; resolves to its class probabilities."""
+        """Enqueue one (H, W, 3) image; resolves to its class probabilities.
+
+        The image dtype is preserved (int8/uint8 requests flow through to an
+        ``Interpreter(input_scale=...)`` unwidened — the int8-I/O serving
+        path quarters host->device bytes vs float32)."""
         fut: Future = Future()
-        self._queue.put((np.asarray(image, np.float32), fut))
+        img = np.asarray(image)
+        if img.dtype not in (np.dtype(np.int8), np.dtype(np.uint8)):
+            img = img.astype(np.float32, copy=False)
+        self._queue.put((img, fut))
         return fut
 
     def predict(self, image, timeout=None):
@@ -101,7 +108,8 @@ class ServingEngine:
             pad = self.batch_size - len(items)
             if pad:
                 images = np.concatenate(
-                    [images, np.zeros((pad, *images.shape[1:]), np.float32)])
+                    [images,
+                     np.zeros((pad, *images.shape[1:]), images.dtype)])
             try:
                 out = np.asarray(self.infer_fn(images))
             except Exception as e:  # propagate to every waiter

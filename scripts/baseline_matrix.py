@@ -74,7 +74,11 @@ def bench_config(model, batch, iters=None, repeats=5):
 
 
 def bench_serving(model="binary_densenet45", batch_size=128,
-                  n_clients=16, duration_s=20.0, max_delay_ms=10.0):
+                  n_clients=256, duration_s=30.0, max_delay_ms=10.0):
+    # n_clients must exceed batch_size for continuous batching to fill
+    # batches: each client blocks on its own result, so at most n_clients
+    # requests are in flight (the first run with 16 clients measured
+    # mean_batch_fill 0.125 — a client-count artefact, not engine capacity).
     """BinaryDenseNet-45 through the continuous-batching ServingEngine on
     the single chip: sustained request throughput, batch fill, request p50.
 
@@ -91,10 +95,15 @@ def bench_serving(model="binary_densenet45", batch_size=128,
 
     spec = get_model(model)
     layers = convert_model(spec, init_model(spec, seed=0, randomize_bn=True))
+    # int8 image input (the reference's int8-I/O flatbuffer surgery,
+    # `mlir/python/util.py:176-222`): quarters the host->device bytes per
+    # batch, which is the binding resource through the tunnel.
     interp = Interpreter(model=spec, layers=layers,
-                         compute_dtype=jnp.bfloat16)
+                         compute_dtype=jnp.bfloat16,
+                         input_scale=1 / 64.0, input_zero_point=0)
     rng = np.random.default_rng(0)
-    img = rng.normal(0, 1, (*spec.input_size, 3)).astype(np.float32)
+    img = np.clip(rng.normal(0, 64, (*spec.input_size, 3)),
+                  -128, 127).astype(np.int8)
 
     # Compile + warm the fixed-batch program before timing.
     np.asarray(interp(np.stack([img] * batch_size)))
