@@ -45,11 +45,21 @@ class ServingEngine:
       max_delay_ms: max time the batcher waits to fill a batch.
     """
 
-    def __init__(self, infer_fn, batch_size=32, max_delay_ms=5.0):
+    def __init__(self, infer_fn, batch_size=32, max_delay_ms=5.0,
+                 input_dtype=None):
         self.infer_fn = infer_fn
         self.batch_size = batch_size
         self.max_delay = max_delay_ms / 1e3
         self.stats = ServingStats()
+        # One engine-wide input dtype: the compiled program has a single
+        # input signature, so every batch must be homogeneous. ``None``
+        # locks to the first request's (normalised) dtype; mismatched later
+        # requests are rejected at submit() rather than silently promoted
+        # by np.stack (int8+float32 -> float32 would recompile the program
+        # and feed the int8-I/O dequant a dtype it wasn't configured for).
+        self._input_dtype = (np.dtype(input_dtype)
+                             if input_dtype is not None else None)
+        self._dtype_lock = threading.Lock()
         self._queue: queue.Queue = queue.Queue()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -60,11 +70,21 @@ class ServingEngine:
 
         The image dtype is preserved (int8/uint8 requests flow through to an
         ``Interpreter(input_scale=...)`` unwidened — the int8-I/O serving
-        path quarters host->device bytes vs float32)."""
+        path quarters host->device bytes vs float32). All requests must
+        share the engine's input dtype (set explicitly or locked to the
+        first request); mismatches raise TypeError."""
         fut: Future = Future()
         img = np.asarray(image)
         if img.dtype not in (np.dtype(np.int8), np.dtype(np.uint8)):
             img = img.astype(np.float32, copy=False)
+        with self._dtype_lock:
+            if self._input_dtype is None:
+                self._input_dtype = img.dtype
+            elif img.dtype != self._input_dtype:
+                raise TypeError(
+                    f"request dtype {img.dtype} does not match the engine's "
+                    f"input dtype {self._input_dtype}; one compiled program "
+                    "serves every batch, so requests must be homogeneous")
         self._queue.put((img, fut))
         return fut
 

@@ -55,19 +55,28 @@ def test_bgemm_checks_pass_all_out_kinds(rng):
             err.throw()  # no assertion fired
 
 
-def test_bgemm_bigk_checks_pass(rng):
-    """The K-blocked fallback path under its own assertions."""
-    # Force num_k > 1 by shrinking the VMEM budget for this test.
+@pytest.mark.parametrize("plane_dtype", ["bfloat16", "int8"])
+def test_bgemm_bigk_checks_pass(rng, plane_dtype):
+    """The K-blocked fallback path under its own assertions, for BOTH MXU
+    plane dtypes (int8/int32-accum is the production default — the budget
+    below forces num_k > 1 at either plane byte width)."""
+    import jax.numpy as _jnp
+
+    plane_bytes = _jnp.dtype(plane_dtype).itemsize
     kw = 512
     lhs, rhs = _packed_operands(rng, m=32, kw=kw, n=128)
     orig = bgemm_mod._WEIGHT_SCRATCH_BUDGET
-    bgemm_mod._WEIGHT_SCRATCH_BUDGET = 2 * BITWIDTH * 128 * 128 * 2
+    # 1 MB < 128 * 32 * 512 * plane_bytes for both int8 (2 MB strip) and
+    # bf16 (4 MB strip), so both dtypes take the K-blocked grid.
+    bgemm_mod._WEIGHT_SCRATCH_BUDGET = 1024 * 1024
     try:
-        bm, bn, block_kw, num_k = bgemm_mod._pick_blocks(32, kw, 128)
+        bm, bn, block_kw, num_k = bgemm_mod._pick_blocks(
+            32, kw, 128, plane_bytes=plane_bytes)
         assert num_k > 1, "test setup must hit the big-K path"
         with pl.enable_debug_checks():
             err, out = checkify.checkify(
-                functools.partial(bgemm, out_kind="accum"))(lhs, rhs)
+                functools.partial(bgemm, out_kind="accum",
+                                  plane_dtype=plane_dtype))(lhs, rhs)
             err.throw()
     finally:
         bgemm_mod._WEIGHT_SCRATCH_BUDGET = orig

@@ -106,9 +106,10 @@ def _accum_oracle(lhs, rhs):
     # BinaryAlexNet fc1 depth (9216 unpacked K) — exceeded VMEM before the
     # N/K-tiled rewrite; must route through block_n=128 full-K strips.
     (8, 288, 512),
-    # K beyond the weight-scratch budget: exercises the K-blocked grid with
-    # fp32 partial accumulation and pad-word correction.
-    (40, 600, 96),
+    # K beyond the weight-scratch budget at BOTH plane byte widths (int8
+    # needs kw > 1024 at the default budget): exercises the K-blocked grid
+    # with partial accumulation and pad-word correction.
+    (40, 1100, 96),
 ])
 @pytest.mark.parametrize("plane_dtype", ["bfloat16", "int8"])
 def test_bgemm_accum_matches_numpy(m, kw, n, plane_dtype, rng):
@@ -123,9 +124,13 @@ def test_bgemm_accum_matches_numpy(m, kw, n, plane_dtype, rng):
     got = np.asarray(bgemm(jnp.asarray(lhs), jnp.asarray(rhs),
                            out_kind="accum", plane_dtype=plane_dtype))
     np.testing.assert_array_equal(got, want)
-    if kw == 600:
-        # Guard: this case must actually hit the K-blocked path.
-        assert _pick_blocks(m, kw, n)[3] > 1
+    if kw == 1100:
+        # Guard: this case must actually hit the K-blocked path with the
+        # plane byte width of the dtype under test (ADVICE r4: the old
+        # kw=600 guard used the bf16 width, so the int8 default — the
+        # production path — silently took the single-K branch).
+        plane_bytes = jnp.dtype(plane_dtype).itemsize
+        assert _pick_blocks(m, kw, n, plane_bytes=plane_bytes)[3] > 1
 
 
 @pytest.mark.parametrize("n", [1, 31, 32, 33, 40, 64, 127, 128])
@@ -170,7 +175,10 @@ def test_bgemm_bitpacked_wide_shapes(m, kw, n, rng):
     want = np.zeros((m, -(-n // 32)), np.uint32)
     for j in range(n):
         want[:, j // 32] |= bits[:, j] << (j % 32)
-    strip = 32 * kw * n * 2
+    # The same expression bgemm's bitpacked branch evaluates (int8 planes
+    # are the default => plane_bytes 1, not the bf16 width).
+    np128 = -(-n // 128) * 128
+    strip = 32 * kw * np128 * jnp.dtype(jnp.int8).itemsize
     assert (strip <= 2 * bgemm_mod._WEIGHT_SCRATCH_BUDGET) == (n == 512), \
         "test shapes must cover both the single-strip and bits8 paths"
     got = np.asarray(bgemm(jnp.asarray(lhs), jnp.asarray(rhs),
