@@ -21,5 +21,5 @@ convert_saved_model):
 from ..models.builder import convert_model as convert  # noqa: F401
 from .artifact import (load_artifact, merge_arrays,  # noqa: F401
                        save_artifact, split_arrays)
-from .graph_import import (import_keras_model,  # noqa: F401
-                           spec_from_program)
+from .graph_import import (graph_int8_ranges,  # noqa: F401
+                           import_keras_model, spec_from_program)

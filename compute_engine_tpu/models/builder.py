@@ -88,13 +88,14 @@ class InitBuilder(_Base):
         return L.init_bn(self.rng, c, randomize=self.randomize_bn)
 
     def conv_bn(self, x, filters, ksize, *, stride=1, padding="SAME",
-                activation=None, name):
+                activation=None, name, groups=1, dilation=1):
         kh, kw = _pair(ksize)
-        c = x.shape[-1]
+        c = x.shape[-1] // groups
         kernel = L.he_normal(self.rng, (kh, kw, c, filters), kh * kw * c)
         self.params[name] = {"kernel": kernel, "bn": self._bn(filters)}
         return L.batch_norm(
-            L.conv2d(x, jnp.asarray(kernel), _pair(stride), padding),
+            L.conv2d(x, jnp.asarray(kernel), _pair(stride), padding,
+                     groups=groups, dilation=_pair(dilation)),
             {k: jnp.asarray(v) for k, v in self.params[name]["bn"].items()})
 
     def depthwise_conv_bn(self, x, ksize, *, stride=1, activation=None,
@@ -108,16 +109,17 @@ class InitBuilder(_Base):
             {k: jnp.asarray(v) for k, v in self.params[name]["bn"].items()})
 
     def binary_conv_bn(self, x, filters, ksize, *, stride=1, padding="SAME",
-                       pad_value=1, name):
+                       pad_value=1, name, groups=1, dilation=1):
         kh, kw = _pair(ksize)
-        c = x.shape[-1]
+        c = x.shape[-1] // groups
         # Latent real-valued weights (binarised by ste_sign at use).
         kernel = self.rng.uniform(-1, 1,
                                   (kh, kw, c, filters)).astype(np.float32)
         self.params[name] = {"kernel": kernel, "bn": self._bn(filters)}
         return L.batch_norm(
             _float_binary_conv(x, jnp.asarray(kernel), _pair(stride), padding,
-                               pad_value),
+                               pad_value, groups=groups,
+                               dilation=_pair(dilation)),
             {k: jnp.asarray(v) for k, v in self.params[name]["bn"].items()})
 
     def binary_dense_bn(self, x, units, *, name):
@@ -140,28 +142,33 @@ class InitBuilder(_Base):
         return L.apply_activation(y, activation)
 
 
-def _float_binary_conv(x, kernel, stride, padding, pad_value):
+def _float_binary_conv(x, kernel, stride, padding, pad_value, groups=1,
+                       dilation=(1, 1)):
     """QAT forward: sign(x) conv sign(w), with one- or zero-padding.
 
     One-padding pads +1 *after* quantisation (the PadV2(+1) pattern the
     converter recognises, `prepare_patterns_common.td:136-168`); zero-padding
     pads the literal 0.0 like a plain SAME conv on the quantised input.
+    Groups and dilation follow the reference's coverage (`prepare_tf.cc:
+    121-146` grouped shape validation, `:172` dilated recomposition).
     """
     xq = L.ste_sign(x)
     wq = L.ste_sign(kernel)
     if padding == "SAME" and pad_value == 1:
         kh, kw = kernel.shape[0], kernel.shape[1]
-        ph = max(kh - 1, 0)
-        pw = max(kw - 1, 0)
         # TF SAME split: before = total // 2 for stride-agnostic shapes we
         # compute via the params helper to stay exact.
         from ..core.params import tflite_same_padding
-        _, pt, pb = tflite_same_padding(x.shape[1], kh, stride[0], 1)
-        _, pl_, pr = tflite_same_padding(x.shape[2], kw, stride[1], 1)
+        _, pt, pb = tflite_same_padding(x.shape[1], kh, stride[0],
+                                        dilation[0])
+        _, pl_, pr = tflite_same_padding(x.shape[2], kw, stride[1],
+                                         dilation[1])
         xq = jnp.pad(xq, ((0, 0), (pt, pb), (pl_, pr), (0, 0)),
                      constant_values=1.0)
-        return L.conv2d(xq, wq, stride, "VALID")
-    return L.conv2d(xq, wq, stride, padding)
+        return L.conv2d(xq, wq, stride, "VALID", groups=groups,
+                        dilation=dilation)
+    return L.conv2d(xq, wq, stride, padding, groups=groups,
+                    dilation=dilation)
 
 
 def _float_binary_dense(x, kernel):
@@ -185,9 +192,10 @@ class FloatBuilder(_Base):
         return L.batch_norm(y, self._bn(name))
 
     def conv_bn(self, x, filters, ksize, *, stride=1, padding="SAME",
-                activation=None, name):
+                activation=None, name, groups=1, dilation=1):
         y = L.conv2d(x, jnp.asarray(self.params[name]["kernel"]),
-                     _pair(stride), padding)
+                     _pair(stride), padding, groups=groups,
+                     dilation=_pair(dilation))
         return L.apply_activation(self._apply_bn(y, name), activation)
 
     def depthwise_conv_bn(self, x, ksize, *, stride=1, activation=None,
@@ -197,9 +205,10 @@ class FloatBuilder(_Base):
         return L.apply_activation(self._apply_bn(y, name), activation)
 
     def binary_conv_bn(self, x, filters, ksize, *, stride=1, padding="SAME",
-                       pad_value=1, name):
+                       pad_value=1, name, groups=1, dilation=1):
         y = _float_binary_conv(x, jnp.asarray(self.params[name]["kernel"]),
-                               _pair(stride), padding, pad_value)
+                               _pair(stride), padding, pad_value,
+                               groups=groups, dilation=_pair(dilation))
         return self._apply_bn(y, name)
 
     def binary_dense_bn(self, x, units, *, name):
@@ -310,17 +319,19 @@ class ConvertBuilder(_Base):
         return entry
 
     def conv_bn(self, x, filters, ksize, *, stride=1, padding="SAME",
-                activation=None, name):
+                activation=None, name, groups=1, dilation=1):
         p = self.params[name]
         mul, bias = L.fold_batch_norm(p["bn"])
         kernel = np.asarray(p["kernel"], np.float32) * mul
         self.layers[name] = self._maybe_int8(name, {
             "kind": "conv", "kernel": kernel.astype(np.float32),
             "bias": bias, "stride": _pair(stride), "padding": padding,
-            "activation": activation,
+            "activation": activation, "groups": groups,
+            "dilation": _pair(dilation),
         })
         return L.batch_norm(
-            L.conv2d(x, jnp.asarray(p["kernel"]), _pair(stride), padding),
+            L.conv2d(x, jnp.asarray(p["kernel"]), _pair(stride), padding,
+                     groups=groups, dilation=_pair(dilation)),
             {k: jnp.asarray(v) for k, v in p["bn"].items()})
 
     def depthwise_conv_bn(self, x, ksize, *, stride=1, activation=None,
@@ -337,16 +348,18 @@ class ConvertBuilder(_Base):
             {k: jnp.asarray(v) for k, v in p["bn"].items()})
 
     def binary_conv_bn(self, x, filters, ksize, *, stride=1, padding="SAME",
-                       pad_value=1, name):
+                       pad_value=1, name, groups=1, dilation=1):
         p = self.params[name]
         channels_in = int(x.shape[-1])
         post_mul, post_bias = L.fold_batch_norm(p["bn"])
         kh, kw = _pair(ksize)
-        k = kh * kw * channels_in
+        # K = FH*FW*C_in_per_group (`tflite/kernels/bconv2d.cc:361-363`).
+        k = kh * kw * (channels_in // groups)
         transform = fuse_output_transform(post_mul, post_bias, k)
         # Binarise + OHWI-transpose + pack (compile-time, like
-        # BitpackWeightsLCE const-folding).
-        w = np.asarray(p["kernel"], np.float32)  # (H, W, I, O)
+        # BitpackWeightsLCE const-folding). Grouped filters keep per-group
+        # packed depth (`tflite/kernels/bconv2d.cc:169-186`).
+        w = np.asarray(p["kernel"], np.float32)  # (H, W, I/groups, O)
         w_ohwi = np.transpose(w, (3, 0, 1, 2))
         packed = bitpack_np(w_ohwi)
         # Packed-domain chaining support: per-channel thresholds require the
@@ -369,6 +382,8 @@ class ConvertBuilder(_Base):
             "stride": _pair(stride),
             "padding": padding,
             "pad_value": pad_value,
+            "groups": groups,
+            "dilation": _pair(dilation),
         }
         if name in self.int8_out_ranges:
             # int8-output binary conv: the int8 requantisation is folded
@@ -382,7 +397,8 @@ class ConvertBuilder(_Base):
             self.layers[name]["out_scale"] = out_scale
         return L.batch_norm(
             _float_binary_conv(x, jnp.asarray(p["kernel"]), _pair(stride),
-                               padding, pad_value),
+                               padding, pad_value, groups=groups,
+                               dilation=_pair(dilation)),
             {k2: jnp.asarray(v) for k2, v in p["bn"].items()})
 
     def binary_dense_bn(self, x, units, *, name):
@@ -674,20 +690,23 @@ class PackedBuilder(_Base):
         return self._store(y) if store else y
 
     def conv_bn(self, x, filters, ksize, *, stride=1, padding="SAME",
-                activation=None, name):
+                activation=None, name, groups=1, dilation=1):
         a = self.layers[name]
         if "kernel_int8" in a:
             x_q, in_s = self._int8_in(x, a)
             acc = jax.lax.conv_general_dilated(
                 x_q, jnp.asarray(a["kernel_int8"]),
                 window_strides=_pair(stride), padding=padding,
+                rhs_dilation=_pair(dilation),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=groups,
                 preferred_element_type=jnp.int32)
             return self._int8_out(acc, jnp.asarray(a["w_scale"]) * in_s,
                                   a, activation)
         x = self._f(x)
         y = L.conv2d(x.astype(self.compute_dtype),
-                     jnp.asarray(a["kernel"]), _pair(stride), padding)
+                     jnp.asarray(a["kernel"]), _pair(stride), padding,
+                     groups=groups, dilation=_pair(dilation))
         y = y.astype(jnp.float32) + jnp.asarray(a["bias"])
         return self._store(L.apply_activation(y, activation))
 
@@ -713,7 +732,7 @@ class PackedBuilder(_Base):
         return self._store(L.apply_activation(y, activation))
 
     def binary_conv_bn(self, x, filters, ksize, *, stride=1, padding="SAME",
-                       pad_value=1, name):
+                       pad_value=1, name, groups=1, dilation=1):
         from ..kernels.bconv2d import bconv2d_mxu_float_in, bconv2d_mxu_s2d
 
         if isinstance(x, Int8Tensor):
@@ -724,8 +743,10 @@ class PackedBuilder(_Base):
         params = BConv2DParams(
             channels_in=int(a["channels_in"]),
             stride=_pair(stride),
+            dilation=_pair(a.get("dilation", dilation)),
             padding=Padding.SAME if padding == "SAME" else Padding.VALID,
             pad_value=int(a["pad_value"]),
+            groups=int(a.get("groups", groups)),
             activation=Activation.NONE,
         )
         transform = OutputTransform(
@@ -872,7 +893,18 @@ class PackedBuilder(_Base):
 
             return _BinaryStream(packed_fn, float_fn, units)
         x = self._f(x)
-        if self.kernel in ("auto", "mxu", "s2d", "residual"):
+        kernel = self.kernel
+        if kernel == "auto":
+            # Measured dispatch for the fc GEMM too (a binary dense is the
+            # fh=fw=1 entry of the same selection table, m = batch): the
+            # batch-1 autotune showed quantize->bgemm beating the direct
+            # matmul at deep fc shapes (BENCHMARKS.md round-4 batch-1 notes).
+            from ..kernels.select import select_bconv2d_kernel
+
+            kernel = select_bconv2d_kernel(
+                "float", c_in=c_in, c_out=units, fh=1, fw=1,
+                m=int(x.shape[0]), out_kind="float")
+        if kernel in ("mxu", "s2d", "residual"):
             # sign -> +-1 bf16 matmul on the MXU (exact; see
             # bconv2d_mxu_float_in for the rationale).
             acc_dtype = (jnp.int32 if self.binary_dtype == jnp.int8
@@ -983,8 +1015,10 @@ def prepare_runtime_arrays(layers):
     for name, a in layers.items():
         a = dict(a)
         if a.get("kind") == "bconv" and "filter_pm1" not in a:
-            w = bitunpack(jnp.asarray(a["packed_filter"]),
-                          int(a["channels_in"]), dtype=jnp.int8)
+            # Grouped filters keep per-group packed depth.
+            cg = int(a["channels_in"]) // int(a.get("groups", 1))
+            w = bitunpack(jnp.asarray(a["packed_filter"]), cg,
+                          dtype=jnp.int8)
             a["filter_pm1"] = np.asarray(jnp.transpose(w, (1, 2, 3, 0)))
         elif a.get("kind") == "bdense" and "kernel_pm1" not in a:
             w = bitunpack(jnp.asarray(a["packed_kernel"]),

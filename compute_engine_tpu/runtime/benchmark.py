@@ -100,7 +100,7 @@ def benchmark_model(model="quicknet", batch=8, iters=20, warmup=1,
         times.append(max(((t2 - t1) - (t1 - t0)) / iters, 1e-9))
     times = np.asarray(times)
     p50 = float(np.percentile(times, 50))
-    return {
+    result = {
         "model": spec.name,
         "batch": batch,
         "kernel": kernel,
@@ -111,6 +111,31 @@ def benchmark_model(model="quicknet", batch=8, iters=20, warmup=1,
         "latency_ms_min": round(float(times.min()) * 1e3, 4),
         "images_per_sec": round(batch / p50, 2),
     }
+    result.update(_memory_metrics(arrays, x))
+    return result
+
+
+def _memory_metrics(arrays, x):
+    """Memory footprint metrics (the reference benchmark's memory report,
+    `lce_benchmark_main.cc:35-49` via the TFLite tool): resident model
+    bytes (packed weights + pre-unpacked +-1 filters + transforms, i.e.
+    everything `prepare_runtime_arrays` ships to the device) and — when
+    the backend exposes allocator stats — the true peak HBM of the run."""
+    leaves = jax.tree.leaves(arrays)
+    weight_bytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                      for a in leaves)
+    out = {
+        "weights_mb": round(weight_bytes / 2 ** 20, 2),
+        "input_mb": round(x.size * x.dtype.itemsize / 2 ** 20, 2),
+    }
+    try:
+        stats = jax.devices()[0].memory_stats()
+        peak = stats.get("peak_bytes_in_use") if stats else None
+        if peak:
+            out["peak_hbm_mb"] = round(peak / 2 ** 20, 1)
+    except Exception:
+        pass  # backend without allocator stats (e.g. CPU test mesh)
+    return out
 
 
 def main(argv=None):

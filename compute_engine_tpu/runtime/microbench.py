@@ -25,7 +25,8 @@ import jax.numpy as jnp
 MXU_MAC_PER_S = {"v5e": 98.5e12}
 
 
-def time_fn(fn, args, iters=100, repeats=3, perturb=None):
+def time_fn(fn, args, iters=100, repeats=3, perturb=None,
+            dynamic_iters=False, min_loop_s=None):
     """Per-iteration seconds of fn(*args) chained in one program.
 
     Host round-trips here cross a ~35ms-RTT tunnel, so wall-clock timing of
@@ -36,6 +37,13 @@ def time_fn(fn, args, iters=100, repeats=3, perturb=None):
 
     ``perturb(args, carry)`` must inject the scalar carry into the inputs to
     create a loop-carried dependency; default perturbs the first arg.
+
+    ``dynamic_iters``: chain with a TRACED trip count so ONE compiled
+    program serves both the k and 2k runs — halves the remote-compile cost
+    (the dominant expense of autotune sweeps through the tunnel, ~40-60s
+    per program). The loop lowers to a while_loop; per-iteration device
+    work is identical, so the differenced time matches the static variant
+    within noise.
     """
 
     if perturb is None:
@@ -58,22 +66,39 @@ def time_fn(fn, args, iters=100, repeats=3, perturb=None):
         leaves = jax.lax.optimization_barrier(jax.tree_util.tree_leaves(out))
         return leaves[0].ravel()[0].astype(jnp.float32)
 
-    def make_run(n):
-        return jax.jit(
-            lambda: jax.lax.fori_loop(0, n, body, jnp.float32(0)))
+    if dynamic_iters:
+        dyn = jax.jit(
+            lambda n: jax.lax.fori_loop(0, n, body, jnp.float32(0)))
 
-    run_k, run_2k = make_run(iters), make_run(2 * iters)
-    np.asarray(run_k())  # compile + warmup
-    np.asarray(run_2k())
-    deltas = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        np.asarray(run_k())
-        t1 = time.perf_counter()
+        def make_run(n):
+            return lambda: dyn(jnp.int32(n))
+    else:
+        def make_run(n):
+            return jax.jit(
+                lambda: jax.lax.fori_loop(0, n, body, jnp.float32(0)))
+
+    def measure(k):
+        run_k, run_2k = make_run(k), make_run(2 * k)
+        np.asarray(run_k())  # compile + warmup
         np.asarray(run_2k())
-        t2 = time.perf_counter()
-        deltas.append(((t2 - t1) - (t1 - t0)) / iters)
-    return max(float(np.median(deltas)), 1e-9)
+        deltas = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            np.asarray(run_k())
+            t1 = time.perf_counter()
+            np.asarray(run_2k())
+            t2 = time.perf_counter()
+            deltas.append(((t2 - t1) - (t1 - t0)) / k)
+        return max(float(np.median(deltas)), 1e-9)
+
+    t = measure(iters)
+    if min_loop_s and t * iters < min_loop_s:
+        # Too short for the differencing to rise above tunnel noise:
+        # re-measure with a loop long enough to cross the floor. With
+        # dynamic_iters the SAME compiled program is reused (no recompile).
+        iters2 = min(int(min_loop_s / max(t, 2e-7)) + 1, 5000)
+        t = measure(iters2)
+    return t
 
 
 def bench_bconv(shape, c_out, ksize=3, kernel="mxu", iters=30,

@@ -30,6 +30,73 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "compute_engine_tpu",
                    "kernels", "kernel_table.json")
 
 
+def _zoo_missing_plan(select):
+    """Enumerate every select key the nine zoo models consult at batch
+    1/8/128 (float domain + alexnet's packed-chain bitpacked keys) and plan
+    the measurements that cover the uncovered ones: exact cells where a key
+    has no measured entry and its bucket has no representative yet, one
+    representative per bucket (the bucket's largest-GEMM zoo member).
+
+    Returns a list of measurement cells, most-important regime first:
+      ("conv", shape_dict, batch, out_kind, record_bucket)
+      ("dense", (c_in, units), batch, record_bucket)
+    """
+    from compute_engine_tpu.models.shapes import binary_layer_shapes
+    from compute_engine_tpu.models.zoo import MODELS
+
+    # bucket key -> (gemm_size, cell) best representative
+    reps = {}
+
+    def consider(bucket, gemm, cell):
+        if bucket not in reps or gemm > reps[bucket][0]:
+            reps[bucket] = (gemm, cell)
+
+    for name in MODELS:
+        for batch in (128, 1, 8):
+            convs, denses = binary_layer_shapes(MODELS[name], batch=batch)
+            for r in convs:
+                fhw = r["fh"] * r["fw"]
+                # (consulted domain, out_kind) pairs per execution mode:
+                # default float-domain execution consults ("float", "float");
+                # the packed-domain chain model (alexnet) additionally
+                # consults ("packed", "bitpacked") via ops.bconv2d.
+                kinds = [("float", "float")]
+                if name == "binary_alexnet":
+                    kinds.append(("packed", "bitpacked"))
+                for domain, out_kind in kinds:
+                    k = select._key(domain, r["c_in"], r["c_out"], fhw,
+                                    r["m"], out_kind)
+                    if k in select._TABLE:
+                        continue
+                    bk = select._bucket_key(domain, r["c_in"], r["c_out"],
+                                            fhw, r["m"], out_kind)
+                    gemm = r["m"] * r["c_in"] * fhw * r["c_out"]
+                    shape = {"h": r["h"], "w": r["w"], "c_in": r["c_in"],
+                             "c_out": r["c_out"], "fh": r["fh"],
+                             "fw": r["fw"], "stride": r["stride"],
+                             "pad_value": r["pad_value"]}
+                    consider(bk, gemm, ("conv", shape, batch, out_kind))
+            for r in denses:
+                k = select._key("float", r["c_in"], r["units"], 1, r["m"],
+                                "float")
+                if k in select._TABLE:
+                    continue
+                bk = select._bucket_key("float", r["c_in"], r["units"], 1,
+                                        r["m"], "float")
+                consider(bk, r["m"] * r["c_in"] * r["units"],
+                         ("dense", (r["c_in"], r["units"]), batch, "float"))
+
+    # Order: throughput regime (batch 128) first, then serving (1), then 8;
+    # float before bitpacked within a batch.
+    def order(item):
+        cell = item[1][1]
+        batch = cell[2]
+        return ({128: 0, 1: 1, 8: 2}[batch], 0 if cell[3] == "float" else 1)
+
+    return [cell for _, (_, cell) in sorted(reps.items(),
+                                            key=order)]
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true",
@@ -39,12 +106,104 @@ def main():
                         "subset and MERGE into the existing table file "
                         "(each config is ~40 TPU compiles; run them "
                         "incrementally)")
+    p.add_argument("--zoo-missing", action="store_true",
+                   help="measure one representative per UNCOVERED bucket of "
+                        "the nine zoo models' select keys (batch 1/8/128), "
+                        "writing exact + bucket winners incrementally")
+    p.add_argument("--limit", type=int, default=0,
+                   help="with --zoo-missing: measure at most N cells")
     p.add_argument("--iters", type=int, default=30)
     args = p.parse_args()
 
     import jax
 
     from compute_engine_tpu.kernels import select
+
+    if args.zoo_missing:
+        select.reset_table()  # shipped defaults = already-measured keys
+        cells = _zoo_missing_plan(select)
+        if args.limit:
+            cells = cells[:args.limit]
+        print(f"{len(cells)} uncovered bucket representatives to measure",
+              flush=True)
+        raw = {}
+
+        def interpolate(cell):
+            """Batch-8 is bracketed by the measured batch-128 and batch-1
+            regimes: when every measured m-bucket of the same bucket family
+            (domain, c-buckets, fhw, out_kind) agrees on a winner, the
+            middle bucket inherits it without burning ~5 tunnel-minutes of
+            compiles; a disagreement forces a real measurement."""
+            kind, shape, batch, out_kind = cell
+            if batch != 8:
+                return None
+            domain = "packed" if out_kind == "bitpacked" else "float"
+            if kind == "conv":
+                from compute_engine_tpu.models.shapes import _ShapeRecorder
+                from compute_engine_tpu.core.params import BConv2DParams
+                from compute_engine_tpu.core.types import Padding
+                params = BConv2DParams(
+                    channels_in=shape["c_in"], stride=tuple(shape["stride"]),
+                    padding=Padding.SAME, pad_value=shape["pad_value"])
+                oh, ow, _, _ = params.output_spatial(
+                    shape["h"], shape["w"], shape["fh"], shape["fw"])
+                bk = select._bucket_key(domain, shape["c_in"],
+                                        shape["c_out"],
+                                        shape["fh"] * shape["fw"],
+                                        batch * oh * ow, out_kind)
+            else:
+                c_in, units = shape
+                bk = select._bucket_key(domain, c_in, units, 1, batch,
+                                        out_kind)
+            family = bk[:5] + bk[6:]
+            winners = {v for k, v in select._TABLE.items()
+                       if k[0] == "b" and k[:5] + k[6:] == family}
+            if len(winners) == 1:
+                winner = winners.pop()
+                select._TABLE[bk] = winner
+                return winner
+            return None
+
+        for i, cell in enumerate(cells):
+            kind = cell[0]
+            w = interpolate(cell)
+            if w is not None:
+                print(f"[{i + 1}/{len(cells)}] b8 {cell[3]} {cell[1]}: "
+                      f"interpolated -> {w} (bracketing regimes agree)",
+                      flush=True)
+                _write(select, jax, raw)
+                continue
+            # Measure only the domain this cell's execution mode consults —
+            # remote compiles dominate wall-clock (~1 min/candidate), and a
+            # float-domain model never dispatches a packed-domain entry.
+            # s2d's rationale is MXU lane underfill at c_in < 128 (it lost
+            # at every measured c_in >= 128 shape, BENCHMARKS.md round 4),
+            # so it is only measured where it can win.
+            if kind == "conv":
+                _, shape, batch, out_kind = cell
+                if out_kind == "bitpacked":
+                    cands = {"packed/bgemm", "packed/mxu"}
+                else:
+                    cands = {"float/mxu", "float/bgemm"}
+                    if shape["c_in"] < 128:
+                        cands.add("float/s2d")
+                res = select.autotune_bconv2d(
+                    [shape], batch=batch, out_kind=out_kind,
+                    iters=args.iters, record_bucket=True, candidates=cands)
+            else:
+                _, shape, batch, out_kind = cell
+                res = select.autotune_bdense(
+                    [shape], batch=batch, iters=args.iters,
+                    record_bucket=True,
+                    candidates={"float/mxu", "float/bgemm"})
+            for skey, per in res.items():
+                pretty = {f"{d}/{k}": round(t * 1e6, 1)
+                          for (d, k), t in per.items()}
+                print(f"[{i + 1}/{len(cells)}] b{batch} {out_kind} "
+                      f"{skey}: {pretty}", flush=True)
+                raw[f"{batch}|{out_kind}|{skey}"] = pretty
+            _write(select, jax, raw)  # checkpoint after every cell
+        return
 
     select.reset_table()
     select._TABLE.clear()  # measure fresh — no stale defaults

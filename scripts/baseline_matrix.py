@@ -62,7 +62,13 @@ def bench_config(model, batch, iters=None, repeats=5):
         "per_image_ms_p50": round(r["latency_ms_p50"] / batch, 4),
         "images_per_sec": r["images_per_sec"],
         "iters": iters,
+        # Init/memory metrics (the reference benchmark reports init time
+        # and memory footprint, `lce_benchmark_main.cc:35-49`).
+        "compile_s": r["compile_s"],
+        "weights_mb": r.get("weights_mb"),
     }
+    if "peak_hbm_mb" in r:
+        rec["peak_hbm_mb"] = r["peak_hbm_mb"]
     ref = REF_BATCH1_MS.get(model)
     if batch == 1 and ref is not None:
         rec["ref_m1_1thread_ms"] = round(ref, 2)

@@ -38,13 +38,15 @@ BATCH = 64
 # budget (measured: 16 classes -> 0.984 held-out oracle at 250 steps, and
 # MORE steps overfit — 400 steps -> 0.852), so it gets the easier 8-class
 # task for decisive margins.
-N_CLASSES = {"quicknet": 16, "birealnet18": 8, "binary_alexnet": 8}
+N_CLASSES = {"quicknet": 16, "birealnet18": 8, "binary_alexnet": 8,
+             "binary_densenet28": 8}
 # 40 steps leaves the 224x224 models at chance (loss ~= ln(N_CLASSES), the
 # "restrict to the used classes" plateau); ~250 Adam+STE steps separates the
 # clustered prototypes decisively (measured on the v5e).
 # binary_alexnet: its huge STE fc layers converge slowly (loss 1.98 at
 # 250 steps, measured round 4) — it gets a bigger budget.
-TRAIN_STEPS = {"quicknet": 250, "birealnet18": 250, "binary_alexnet": 650}
+TRAIN_STEPS = {"quicknet": 250, "birealnet18": 250, "binary_alexnet": 650,
+               "binary_densenet28": 250}
 # Post-training BN re-estimation ("precise BN"): exact dataset statistics
 # written into the moving stats over this many batches. The round-3
 # Bi-RealNet gate failure (train loss 0.000, held-out oracle 0.898) was the

