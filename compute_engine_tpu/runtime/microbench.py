@@ -67,11 +67,23 @@ def time_fn(fn, args, iters=100, repeats=3, perturb=None,
         return leaves[0].ravel()[0].astype(jnp.float32)
 
     if dynamic_iters:
-        dyn = jax.jit(
-            lambda n: jax.lax.fori_loop(0, n, body, jnp.float32(0)))
+        # Operands enter as jit PARAMETERS here (not closed-over
+        # constants): huge inputs would otherwise be embedded in the HLO
+        # and blow the remote-compile relay's request-size limit (HTTP 413
+        # at ~300 MB), and parameters match the production weights-as-args
+        # regime (nothing constant-folds).
+        def dyn_fn(n, a):
+            def pbody(_, carry):
+                out = fn(*perturb(a, carry))
+                leaves = jax.lax.optimization_barrier(
+                    jax.tree_util.tree_leaves(out))
+                return leaves[0].ravel()[0].astype(jnp.float32)
+            return jax.lax.fori_loop(0, n, pbody, jnp.float32(0))
+
+        dyn = jax.jit(dyn_fn)
 
         def make_run(n):
-            return lambda: dyn(jnp.int32(n))
+            return lambda: dyn(jnp.int32(n), args)
     else:
         def make_run(n):
             return jax.jit(
@@ -92,12 +104,17 @@ def time_fn(fn, args, iters=100, repeats=3, perturb=None,
         return max(float(np.median(deltas)), 1e-9)
 
     t = measure(iters)
-    if min_loop_s and t * iters < min_loop_s:
-        # Too short for the differencing to rise above tunnel noise:
-        # re-measure with a loop long enough to cross the floor. With
-        # dynamic_iters the SAME compiled program is reused (no recompile).
-        iters2 = min(int(min_loop_s / max(t, 2e-7)) + 1, 5000)
-        t = measure(iters2)
+    if min_loop_s:
+        k = iters
+        for _ in range(3):
+            if t * k >= min_loop_s and t > 1e-8:
+                break
+            # Too short for the differencing to rise above tunnel noise
+            # (or a transient collapsed the delta to the 1e-9 floor):
+            # re-measure with a loop long enough to cross it. With
+            # dynamic_iters the SAME compiled program is reused.
+            k = min(int(min_loop_s / max(t, 2e-7)) + 1, 5000)
+            t = measure(k)
     return t
 
 
