@@ -112,7 +112,48 @@ def benchmark_model(model="quicknet", batch=8, iters=20, warmup=1,
         "images_per_sec": round(batch / p50, 2),
     }
     result.update(_memory_metrics(arrays, x))
+    try:
+        act_mb = _activation_peak_mb(
+            spec, static, arrays, x, kernel, compute_dtype, binary_dtype)
+        result["act_peak_mb"] = round(act_mb, 2)
+        # Estimated peak HBM: resident model + input + a 3-tensor working
+        # set at the widest activation (stream in + side + out). The axon
+        # tunnel exposes no allocator stats (memory_stats() -> None), so
+        # this analytic estimate stands in for the reference benchmark's
+        # measured footprint (`lce_benchmark_main.cc:35-49`).
+        if "peak_hbm_mb" not in result:
+            result["peak_hbm_est_mb"] = round(
+                result["weights_mb"] + result["input_mb"] + 3 * act_mb, 1)
+    except Exception:
+        pass
     return result
+
+
+def _activation_peak_mb(spec, static, arrays, x, kernel, compute_dtype,
+                        binary_dtype):
+    """Largest intermediate activation (MB) of the traced forward."""
+    from ..converter import merge_arrays
+
+    def step(arrays, x):
+        return packed_apply(spec, merge_arrays(static, arrays), x,
+                            kernel=kernel, compute_dtype=compute_dtype,
+                            binary_dtype=binary_dtype)
+
+    jaxpr = jax.make_jaxpr(step)(arrays, x)
+    best = [0]
+
+    def walk(jx):
+        for eqn in jx.eqns:
+            for v in eqn.outvars:
+                aval = getattr(v, "aval", None)
+                if aval is not None and hasattr(aval, "shape"):
+                    best[0] = max(best[0], int(np.prod(aval.shape))
+                                  * aval.dtype.itemsize)
+            for sub in jax.core.jaxprs_in_params(eqn.params):
+                walk(sub)
+
+    walk(jaxpr.jaxpr)
+    return best[0] / 2 ** 20
 
 
 def _memory_metrics(arrays, x):
