@@ -67,14 +67,25 @@ def main(argv=None):
         params = init_model(spec, seed=args.seed, randomize_bn=True)
         source = f"random(seed={args.seed})"
 
-    int8_ranges = None
+    int8_ranges = int8_out_ranges = None
+    if graph_program is not None:
+        # QAT graphs carry their own quantizer ranges — absorbed by the
+        # importer (graph_int8_ranges), no calibration needed
+        # (`mlir/transforms/quantize.cc:15-42` analogue).
+        from .graph_import import graph_int8_ranges
+
+        g_in, g_out = graph_int8_ranges(spec)
+        if g_in or g_out:
+            int8_ranges, int8_out_ranges = g_in or None, g_out or None
     if args.int8_calib_batches:
         rng = np.random.default_rng(args.seed)
         batches = [rng.normal(0, 1, (4, *spec.input_size, 3)).astype(
             np.float32) for _ in range(args.int8_calib_batches)]
-        int8_ranges = calibrate_model(spec, params, batches)
+        int8_ranges, int8_out_ranges = calibrate_model(
+            spec, params, batches, with_outputs=True)
 
-    layers = convert_model(spec, params, int8_ranges=int8_ranges)
+    layers = convert_model(spec, params, int8_ranges=int8_ranges,
+                           int8_out_ranges=int8_out_ranges)
     extra = {
         "source": source,
         "int8": bool(int8_ranges),

@@ -316,9 +316,15 @@ def _pick_blocks(m, kw, n, vmem_budget=None, plane_bytes=2):
     if vmem_budget is None:
         vmem_budget = _WEIGHT_SCRATCH_BUDGET
     strip_bytes_per_col = BITWIDTH * kw * plane_bytes
+    # Never exceed the (lane-padded) real N: the output is padded to
+    # round_up(N, block_n), so a 512-wide block on an N=64 GEMM would
+    # spend 8x the MXU/unpack work on dead columns (caught by the round-5
+    # ceiling model: the N=64 conv GEMM measured 2.1x its predicted
+    # bound before this cap).
+    n_cap = max(128, _round_up(n, 128))
     block_n = 128
     for cand in (512, 384, 256, 128):
-        if cand * strip_bytes_per_col <= vmem_budget:
+        if cand <= n_cap and cand * strip_bytes_per_col <= vmem_budget:
             block_n = cand
             break
     if 128 * strip_bytes_per_col <= vmem_budget:

@@ -240,9 +240,24 @@ class CalibrateBuilder(FloatBuilder):
         super().__init__(params)
         self.ranges = ranges if ranges is not None else {}
         self.out_ranges = {}
+        self._add_idx = 0
 
     def _record(self, name, x, table):
         table[name] = max(table.get(name, 0.0), float(jnp.max(jnp.abs(x))))
+
+    def add(self, a, b):
+        # Residual adds get synthesized names by trace order (the forward
+        # is deterministic, so every builder sees the same sequence). An
+        # add with a calibrated output range becomes an int8 op in the
+        # converted model — the TFLite int8 ADD analogue that lets the
+        # residual stream itself flow int8 (the stream's bf16 width is
+        # what caps the float pipeline at ~68% MAC-SOL; see
+        # section_profile's floors).
+        name = f"__add_{self._add_idx}"
+        self._add_idx += 1
+        y = super().add(a, b)
+        self._record(name, y, self.out_ranges)
+        return y
 
     def conv_bn(self, x, filters, ksize, **kw):
         self._record(kw["name"], x, self.ranges)
@@ -293,6 +308,21 @@ class ConvertBuilder(_Base):
         # consecutive int8 layers exchange int8 tensors
         # (`mlir/transforms/quantize.cc:15-42`).
         self.int8_out_ranges = int8_out_ranges or {}
+        self._add_idx = 0
+
+    def add(self, a, b):
+        # Calibrated residual adds convert to int8 ADD ops (TFLite int8
+        # Add analogue): the artifact records the output scale under the
+        # synthesized trace-order name; PackedBuilder then executes the
+        # add in the int8 domain when both operands arrive int8.
+        name = f"__add_{self._add_idx}"
+        self._add_idx += 1
+        if name in self.int8_out_ranges:
+            self.layers[name] = {
+                "kind": "add",
+                "out_scale": float(self.int8_out_ranges[name]) / 127.0,
+            }
+        return super().add(a, b)
 
     def _maybe_int8(self, name, entry, reduce_axes=None):
         """Per-channel int8 weight quantisation + input/output scales.
@@ -565,6 +595,7 @@ class PackedBuilder(_Base):
         if domain not in ("float", "packed"):
             raise ValueError(f"unknown domain {domain!r}")
         self.domain = domain
+        self._add_idx = 0
 
     # -- packed-domain plumbing ---------------------------------------------
 
@@ -623,9 +654,26 @@ class PackedBuilder(_Base):
         return super().global_avg_pool(self._f(x))
 
     def add(self, a, b):
+        name = f"__add_{self._add_idx}"
+        self._add_idx += 1
         for u, v in ((a, b), (b, a)):
             if isinstance(v, _DeferredBConv) and v.fuses_with(u):
                 return v.fused_add()
+        entry = self.layers.get(name)
+        if (entry is not None and entry.get("kind") == "add"
+                and isinstance(a, Int8Tensor) and isinstance(b, Int8Tensor)):
+            # int8 residual add (TFLite int8 ADD semantics: rescale both
+            # operands to the calibrated output scale, round, saturate).
+            # The residual stream then stays int8 end to end — half the
+            # HBM bytes of the bf16 stream, which is the binding resource
+            # of the early sections (see section_profile floors).
+            from ..core.types import round_half_away
+
+            so = float(entry["out_scale"])
+            y = (a.values.astype(jnp.float32) * (a.scale / so)
+                 + b.values.astype(jnp.float32) * (b.scale / so))
+            y_q = jnp.clip(round_half_away(y), -127, 127).astype(jnp.int8)
+            return Int8Tensor(y_q, so)
         return super().add(self._f(a), self._f(b))
 
     def concat(self, xs):
@@ -986,6 +1034,7 @@ def calibrate_model(spec, params, batches, with_outputs=False):
     ``(in_ranges, out_ranges)`` for the true-int8 pipeline."""
     b = CalibrateBuilder(params)
     for x in batches:
+        b._add_idx = 0  # synthesized add names restart per forward trace
         spec.forward(b, jnp.asarray(x, jnp.float32))
     if with_outputs:
         return b.ranges, b.out_ranges

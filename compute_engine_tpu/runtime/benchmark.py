@@ -60,13 +60,32 @@ def _iterated_forward(spec, static, kernel, compute_dtype, iters,
 def benchmark_model(model="quicknet", batch=8, iters=20, warmup=1,
                     kernel="auto", artifact_path=None, seed=0,
                     compute_dtype=jnp.bfloat16, input_size=None,
-                    repeats=5, binary_dtype=jnp.int8):
+                    repeats=5, binary_dtype=jnp.int8, int8_pipeline=False):
+    """``int8_pipeline``: benchmark the true-int8 execution mode — the
+    model is calibrated on random batches and converted with input/output
+    ranges, so non-binary layers run int8, binary convs emit int8 through
+    the fused epilogue, and calibrated residual adds run as int8 ADDs
+    (the reference's full-int8 model configuration; accuracy contract in
+    tests/test_int8_models.py and the packed_int8 fixture records)."""
     spec = get_model(model) if isinstance(model, str) else model
     if artifact_path:
         _, _, layers = load_artifact(artifact_path)
     else:
-        layers = convert_model(spec, init_model(spec, seed=seed,
-                                                randomize_bn=True))
+        params = init_model(spec, seed=seed, randomize_bn=True)
+        if int8_pipeline:
+            from ..models import calibrate_model
+
+            crng = np.random.default_rng(seed + 1)
+            in_r, out_r = calibrate_model(
+                spec, params,
+                [crng.normal(0, 1, (8, *(input_size or spec.input_size),
+                                    3)).astype(np.float32)
+                 for _ in range(2)],
+                with_outputs=True)
+            layers = convert_model(spec, params, int8_ranges=in_r,
+                                   int8_out_ranges=out_r)
+        else:
+            layers = convert_model(spec, params)
     size = input_size or spec.input_size
     rng = np.random.default_rng(seed)
     x = jnp.asarray(rng.normal(0, 1, (batch, *size, 3)).astype(np.float32))
@@ -190,12 +209,16 @@ def main(argv=None):
     p.add_argument("--artifact", default=None)
     p.add_argument("--f32", action="store_true",
                    help="float32 compute for non-binary layers")
+    p.add_argument("--int8", action="store_true",
+                   help="true-int8 pipeline (calibrated; int8 stream, "
+                        "int8 residual adds)")
     p.add_argument("--json", action="store_true")
     args = p.parse_args(argv)
     result = benchmark_model(
         model=args.model, batch=args.batch, iters=args.iters,
         warmup=args.warmup, kernel=args.kernel, artifact_path=args.artifact,
-        compute_dtype=jnp.float32 if args.f32 else jnp.bfloat16)
+        compute_dtype=jnp.float32 if args.f32 else jnp.bfloat16,
+        int8_pipeline=args.int8)
     if args.json:
         print(json.dumps(result))
     else:

@@ -48,16 +48,17 @@ REF_BATCH1_MS = {"quicknet_small": 4.0, "quicknet": 5.8,
 # QuickNet Pixel-1 -> M1 ratio, noted in the record.)
 
 
-def bench_config(model, batch, iters=None, repeats=5):
+def bench_config(model, batch, iters=None, repeats=5, int8=False):
     from compute_engine_tpu.runtime.benchmark import benchmark_model
 
     # Small batches need longer chains for the differencing timer to rise
     # above tunnel noise.
     iters = iters or (200 if batch == 1 else 20)
     r = benchmark_model(model=model, batch=batch, iters=iters, warmup=1,
-                        repeats=repeats, kernel="auto")
+                        repeats=repeats, kernel="auto", int8_pipeline=int8)
     rec = {
         "model": model, "batch": batch, "kernel": "auto",
+        **({"pipeline": "int8"} if int8 else {}),
         "latency_ms_p50": r["latency_ms_p50"],
         "per_image_ms_p50": round(r["latency_ms_p50"] / batch, 4),
         "images_per_sec": r["images_per_sec"],
@@ -172,11 +173,19 @@ def main():
         for c in args.configs.split(","):
             if c == "serving":
                 serving = True
+            elif c.endswith(":int8"):
+                m, b, _ = c.split(":")
+                configs.append((m, int(b), True))
             else:
                 m, b = c.rsplit(":", 1)
                 configs.append((m, int(b)))
     else:
-        configs, serving = DEFAULT_CONFIGS, not args.skip_serving
+        configs, serving = list(DEFAULT_CONFIGS), not args.skip_serving
+        # True-int8 pipeline rows (int8 stream + int8 residual adds): the
+        # reference's full-int8 model configuration, and the only mode
+        # that can beat the bf16 stream's composite HBM bound
+        # (section_profile floors).
+        configs += [("quicknet", 128, True), ("quicknet", 1, True)]
 
     try:
         with open(OUT) as f:
@@ -186,9 +195,11 @@ def main():
     data["_meta"] = {"device": str(jax.devices()[0]),
                      "timer": "fori differencing, median-of-5"}
 
-    for model, batch in configs:
-        rec = bench_config(model, batch)
-        data[f"{model}@{batch}"] = rec
+    for cfg in configs:
+        model, batch = cfg[0], cfg[1]
+        int8 = len(cfg) > 2 and cfg[2]
+        rec = bench_config(model, batch, int8=int8)
+        data[f"{model}@{batch}" + ("@int8" if int8 else "")] = rec
         print(json.dumps(rec), flush=True)
         with open(OUT, "w") as f:
             json.dump(data, f, indent=1, sort_keys=True)

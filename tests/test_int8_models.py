@@ -258,3 +258,45 @@ def test_int8_maxpool_in_int8_domain(rng):
     # max commutes with the positive scale: int8-domain pooling tracks the
     # float oracle up to quantisation error.
     np.testing.assert_allclose(got, want, atol=0.15)
+
+
+def test_int8_residual_add_chain(rng, monkeypatch):
+    """Calibrated residual adds run in the int8 domain (TFLite int8 ADD
+    analogue): the artifact records __add entries, the packed forward
+    keeps Int8Tensor flowing THROUGH the adds (so the residual stream is
+    int8 end to end — the stream-width lever behind the 68% MAC-SOL cap
+    in section_profile's floor analysis), and accuracy tracks the float
+    oracle within the int8 contract."""
+    from compute_engine_tpu.models.builder import Int8Tensor, PackedBuilder
+
+    params = init_model(SPEC, seed=3, randomize_bn=True)
+    calib = [rng.normal(0, 1, (8, 32, 32, 3)).astype(np.float32)
+             for _ in range(3)]
+    in_r, out_r = calibrate_model(SPEC, params, calib, with_outputs=True)
+    adds = [k for k in out_r if k.startswith("__add_")]
+    assert len(adds) == 2, adds  # one residual add per tiny section
+
+    layers = convert_model(SPEC, params, int8_ranges=in_r,
+                           int8_out_ranges=out_r)
+    assert all(layers[k]["kind"] == "add" and layers[k]["out_scale"] > 0
+               for k in adds)
+
+    captured = []
+    orig_add = PackedBuilder.add
+
+    def spy(self, a, b):
+        out = orig_add(self, a, b)
+        captured.append(type(out).__name__)
+        return out
+
+    monkeypatch.setattr(PackedBuilder, "add", spy)
+    x = rng.normal(0, 1, (16, 32, 32, 3)).astype(np.float32)
+    got = np.asarray(packed_apply(SPEC, layers, jnp.asarray(x),
+                                  compute_dtype=jnp.float32))
+    assert captured.count("Int8Tensor") == 2, captured
+
+    want = np.asarray(float_apply(SPEC, params, jnp.asarray(x)))
+    # int8-quantised stream: same closeness contract as the int8 pipeline
+    # tests (probabilities within the quantisation-error scale).
+    assert float(np.abs(got - want).max()) <= 0.2
+    assert (got.argmax(-1) == want.argmax(-1)).mean() >= 0.9
