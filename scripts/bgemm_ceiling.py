@@ -46,7 +46,9 @@ B_HBM = 819e9
 # Calibrated on the fc-square shape (the MXU-bound regime), then held fixed
 # for every other row: vector ops per unpacked bit.
 U_OPS_PER_BIT = 4.0
-L_OVERHEAD = 8e-6
+L_OVERHEAD = 1e-6     # in-loop pallas_call invocation (dispatch amortised)
+T_GRID_STEP = 0.5e-6  # per grid-step scheduling/prologue cost
+R_MXU_FP32 = R_MXU_INT8 / 8  # fp32 MXU rate (the lane-pack dots are f32)
 
 # (M, KW, N, out_kind): the zoo's GEMM population — conv-as-GEMM rows at
 # batch 128 and batch 1, the fc shapes, and the bitpacked production
@@ -79,14 +81,23 @@ def predict(m, kw, n, out_kind, block_m, block_n):
     t_vpu = U_OPS_PER_BIT * kbits * (mp * num_j + np_) / R_VPU
     if out_kind == "bitpacked":
         out_bytes = mp * (np_ // 32) * 4
-        # Two extra lane-pack matmuls per tile: bits (TM,TN) @ (TN, TN/32).
-        t_mxu += 2 * mp * np_ * (np_ // 32) / R_MXU_INT8
+        # Two extra lane-pack matmuls per tile: bits (TM,TN) @ (TN, TN/32)
+        # in FP32 (exactness of the power-of-two sums) — the fp32 MXU rate,
+        # 1/8 of int8, is what makes this term visible on wide-N tiles.
+        t_mxu += 2 * mp * np_ * (np_ // 32) / R_MXU_FP32
     else:
         out_bytes = mp * np_ * 4
     t_hbm = (4 * mp * kw * num_j + 4 * kw * np_ + out_bytes) / B_HBM
-    return L_OVERHEAD + max(t_hbm, t_mxu + t_vpu), {
+    # K-major LHS feed: the (M, KW) -> (KW, M) transpose of the packed
+    # words is a separate XLA pass (read + write) that cannot overlap the
+    # kernel — serial prologue.
+    t_pre = 2 * 4 * mp * kw / B_HBM
+    n_steps = (mp // min(1024, mp)) * num_j
+    t_steps = T_GRID_STEP * n_steps
+    return L_OVERHEAD + t_pre + t_steps + max(t_hbm, t_mxu + t_vpu), {
         "t_mxu_us": t_mxu * 1e6, "t_vpu_us": t_vpu * 1e6,
-        "t_hbm_us": t_hbm * 1e6,
+        "t_hbm_us": t_hbm * 1e6, "t_pre_us": t_pre * 1e6,
+        "t_steps_us": t_steps * 1e6,
     }
 
 
@@ -112,11 +123,24 @@ def main():
             mul = jnp.asarray(rng.uniform(0.1, 2, n).astype(np.float32))
             bias = jnp.asarray(rng.uniform(-3, 3, n).astype(np.float32))
             fn = lambda a, b: bgemm(a, b, mul, bias, out_kind="float")
-        iters = max(3, min(500, int(3e8 / (m * kw * n))))
-        t = time_fn(fn, (lhs, rhs), iters=iters)
-        if t * iters < 3e-3:
-            t = time_fn(fn, (lhs, rhs),
-                        iters=min(int(3e-3 / max(t, 2e-7)) + 1, 5000))
+        # Chain length targeting ~10 ms of device time per loop (est. at
+        # ~half SOL): short chains leave the differencing inside tunnel
+        # noise and overstate the per-iteration time.
+        est_s = m * n * kw * 32 / (0.5 * R_MXU_INT8) + 20e-6
+        iters = int(max(30, min(3000, 10e-3 / est_s)))
+        t = None
+        for attempt in range(3):
+            try:
+                t = time_fn(fn, (lhs, rhs), iters=iters,
+                            dynamic_iters=True, min_loop_s=3e-3)
+                break
+            except Exception as e:  # transient relay failures
+                print(f"  retry {attempt + 1} after: {e}", flush=True)
+                import time as _t
+                _t.sleep(15)
+        if t is None:
+            print(f"  SKIPPED {(m, kw, n, out_kind)}", flush=True)
+            continue
 
         block_m, block_n, block_kw, num_k = _pick_blocks(m, kw, n,
                                                          plane_bytes=1)
@@ -144,9 +168,8 @@ def main():
 
     out = {
         "_meta": {
-            "model": "t = L + max(t_hbm, t_mxu + t_vpu); "
-                     "u=%.1f ops/bit, L=%.0fus" % (U_OPS_PER_BIT,
-                                                   L_OVERHEAD * 1e6),
+            "model": "t = L + t_pre + t_steps + max(t_hbm, t_mxu+t_vpu); "
+                     "u=%.1f ops/bit" % U_OPS_PER_BIT,
             "constants": {"R_MXU_int8_mac_s": R_MXU_INT8,
                           "R_VPU_ops_s": R_VPU, "B_HBM_B_s": B_HBM,
                           "u_ops_per_bit": U_OPS_PER_BIT,
