@@ -68,8 +68,9 @@ def bench_config(model, batch, iters=None, repeats=5, int8=False):
         "compile_s": r["compile_s"],
         "weights_mb": r.get("weights_mb"),
     }
-    if "peak_hbm_mb" in r:
-        rec["peak_hbm_mb"] = r["peak_hbm_mb"]
+    for k in ("peak_hbm_mb", "peak_hbm_est_mb", "act_peak_mb"):
+        if k in r:
+            rec[k] = r[k]
     ref = REF_BATCH1_MS.get(model)
     if batch == 1 and ref is not None:
         rec["ref_m1_1thread_ms"] = round(ref, 2)
