@@ -39,9 +39,18 @@ class TrainBuilder(FloatBuilder):
     softmax-cross-entropy.
     """
 
-    def __init__(self, params):
+    def __init__(self, params, bn_eps=L.BN_EPSILON):
         super().__init__(params)
         self.batch_stats = {}
+        # Training-only epsilon. Deep binarised concat topologies
+        # (BinaryDenseNet) produce channels whose binary-conv output is
+        # CONSTANT across a clustered batch (batch var exactly 0): the
+        # backward then multiplies cotangents by rsqrt(eps) per layer —
+        # 316x at the inference epsilon — and overflows to inf within a
+        # block. A larger training epsilon caps the amplification; the
+        # inference/conversion path keeps Keras' exact 1e-5 (precise-BN
+        # recalibration writes the final statistics anyway).
+        self.bn_eps = bn_eps
 
     def _apply_bn(self, y, name):
         axes = tuple(range(y.ndim - 1))
@@ -49,7 +58,7 @@ class TrainBuilder(FloatBuilder):
         var = jnp.var(y, axis=axes)
         self.batch_stats[name] = (mean, var)
         bn = self._bn(name)
-        scale = bn["gamma"] * jax.lax.rsqrt(var + L.BN_EPSILON)
+        scale = bn["gamma"] * jax.lax.rsqrt(var + self.bn_eps)
         return (y - mean) * scale + bn["beta"]
 
     def softmax(self, x):
@@ -87,12 +96,15 @@ def synthetic_clustered(rng, batch, size, num_classes, spread=0.35,
 
 
 def train_briefly(spec, params, *, steps=40, batch=32, lr=2e-3, seed=0,
-                  num_classes=None, bn_momentum=0.7, data=None, protos=None):
+                  num_classes=None, bn_momentum=0.7, data=None, protos=None,
+                  clip_norm=None):
     """A few Adam+STE steps; returns a trained numpy parameter tree.
 
     BN moving statistics are replaced by the running average of the observed
     batch statistics (momentum ``bn_momentum``), i.e. the forward used for
     conversion sees BN folds consistent with the data distribution.
+    ``clip_norm``: optional global-norm gradient clipping — deep concat
+    topologies (BinaryDenseNet) diverge at the default lr without it.
     """
     import optax
 
@@ -102,7 +114,8 @@ def train_briefly(spec, params, *, steps=40, batch=32, lr=2e-3, seed=0,
         rng, batch, spec.input_size, num_classes, protos=protos)
 
     params = jax.tree_util.tree_map(jnp.asarray, dict(params))
-    opt = optax.adam(lr)
+    opt = (optax.chain(optax.clip_by_global_norm(clip_norm), optax.adam(lr))
+           if clip_norm else optax.adam(lr))
     opt_state = opt.init(params)
 
     def loss_fn(p, x, y):

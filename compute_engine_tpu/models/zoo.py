@@ -126,7 +126,10 @@ def birealnet18(b, x, *, num_classes=1000):
 
 
 def binary_resnet_e18(b, x, *, num_classes=1000):
-    x = b.conv_bn(x, 64, 7, stride=2, activation="relu", name="stem_conv")
+    # No stem ReLU before the first block's sign (see the DenseNet note:
+    # sign(relu(x)) is identically +1; ResNetE's stem is likewise
+    # normalise-then-binarise, Bethge et al. 2019 Fig. 2).
+    x = b.conv_bn(x, 64, 7, stride=2, name="stem_conv")
     x = b.max_pool(x, 3, 2)
     filters = (64, 128, 256, 512)
     for s, f in enumerate(filters):
@@ -179,8 +182,14 @@ def binary_alexnet(b, x, *, num_classes=1000):
 def _binary_densenet_forward(b, x, *, layers_per_block, reductions,
                              growth_rate=64, initial_filters=64,
                              num_classes=1000):
-    x = b.conv_bn(x, initial_filters, 7, stride=2, activation="relu",
-                  name="stem_conv")
+    # NOTE (round-5 fidelity fix): no ReLU between the stem/transition BN
+    # and the next block's sign quantizer. The paper's blocks are
+    # pre-activation (BN -> sign -> conv); our conv->BN ending feeds the
+    # next layer's sign, which is the same normalise-then-binarise order —
+    # but an interposed ReLU makes sign(relu(x)) identically +1 (a ReLU
+    # output is never negative), zeroing the batch variance of every
+    # in-block binary conv and breaking training outright.
+    x = b.conv_bn(x, initial_filters, 7, stride=2, name="stem_conv")
     x = b.max_pool(x, 3, 2)
     for block_idx, n_layers in enumerate(layers_per_block):
         for i in range(n_layers):
@@ -191,7 +200,7 @@ def _binary_densenet_forward(b, x, *, layers_per_block, reductions,
         if block_idx < len(layers_per_block) - 1:
             # Float transition: 1x1 reduction conv + 2x2 average pooling.
             channels = int(x.shape[-1] // reductions[block_idx] // 32) * 32
-            x = b.conv_bn(x, channels, 1, activation="relu",
+            x = b.conv_bn(x, channels, 1,
                           name=f"transition_{block_idx}")
             x = b.avg_pool(x, 2, 2)
     x = b.activation(x, "relu")

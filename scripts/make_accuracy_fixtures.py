@@ -47,6 +47,10 @@ N_CLASSES = {"quicknet": 16, "birealnet18": 8, "binary_alexnet": 8,
 # 250 steps, measured round 4) — it gets a bigger budget.
 TRAIN_STEPS = {"quicknet": 250, "birealnet18": 250, "binary_alexnet": 650,
                "binary_densenet28": 250}
+# Global-norm gradient clipping: the 23-layer concat topology amplifies
+# early-training cotangents through its chained BNs (finite but huge);
+# clipping keeps Adam's trajectory sane. Residual models don't need it.
+CLIP_NORM = {"binary_densenet28": 1.0}
 # Post-training BN re-estimation ("precise BN"): exact dataset statistics
 # written into the moving stats over this many batches. The round-3
 # Bi-RealNet gate failure (train loss 0.000, held-out oracle 0.898) was the
@@ -72,7 +76,8 @@ def run_model(name, seed=0):
     params = init_model(spec, seed=seed)
     trained, info = train_briefly(spec, params, steps=TRAIN_STEPS[name],
                                   batch=32, seed=seed,
-                                  num_classes=n_classes, protos=protos)
+                                  num_classes=n_classes, protos=protos,
+                                  clip_norm=CLIP_NORM.get(name))
     print(f"{name}: loss {info['loss_first']:.3f} -> {info['loss_last']:.3f}")
     recal_rng = np.random.default_rng(4000 + seed)
     trained = recalibrate_bn_stats(
