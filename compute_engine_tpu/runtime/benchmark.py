@@ -26,7 +26,7 @@ from ..models import convert_model, get_model, init_model, packed_apply
 
 
 def _iterated_forward(spec, static, kernel, compute_dtype, iters,
-                      binary_dtype=jnp.int8):
+                      binary_dtype=jnp.int8, domain="float"):
     """Run the model ``iters`` times inside one program.
 
     Host<->device round-trips here go through a high-latency tunnel, so
@@ -44,7 +44,7 @@ def _iterated_forward(spec, static, kernel, compute_dtype, iters,
         x = x.at[0, 0, 0, 0].add(carry * 1e-12)
         out = packed_apply(spec, layers, x, kernel=kernel,
                            compute_dtype=compute_dtype,
-                           binary_dtype=binary_dtype)
+                           binary_dtype=binary_dtype, domain=domain)
         # f32 carry regardless of model output dtype (headless prefix
         # models — section_profile — end in bf16 activations).
         return jnp.mean(out).astype(jnp.float32)
@@ -60,8 +60,14 @@ def _iterated_forward(spec, static, kernel, compute_dtype, iters,
 def benchmark_model(model="quicknet", batch=8, iters=20, warmup=1,
                     kernel="auto", artifact_path=None, seed=0,
                     compute_dtype=jnp.bfloat16, input_size=None,
-                    repeats=5, binary_dtype=jnp.int8, int8_pipeline=False):
-    """``int8_pipeline``: benchmark the true-int8 execution mode — the
+                    repeats=5, binary_dtype=jnp.int8, int8_pipeline=False,
+                    domain="float"):
+    """``domain="packed"``: chain binary->binary layers through bitpacked
+    activations (the packed-domain execution mode — BinaryAlexNet's
+    conv3/4/5 + fc chain runs bitpacked-in/bitpacked-out through the
+    fused threshold+lane-pack Pallas epilogue).
+
+    ``int8_pipeline``: benchmark the true-int8 execution mode — the
     model is calibrated on random batches and converted with input/output
     ranges, so non-binary layers run int8, binary convs emit int8 through
     the fused epilogue, and calibrated residual adds run as int8 ADDs
@@ -99,9 +105,9 @@ def benchmark_model(model="quicknet", batch=8, iters=20, warmup=1,
     # Differencing (see microbench.time_fn): T(2k) - T(k) cancels the fixed
     # per-dispatch tunnel/launch overhead.
     run_k = _iterated_forward(spec, static, kernel, compute_dtype, iters,
-                              binary_dtype)
+                              binary_dtype, domain)
     run_2k = _iterated_forward(spec, static, kernel, compute_dtype,
-                               2 * iters, binary_dtype)
+                               2 * iters, binary_dtype, domain)
     t0 = time.perf_counter()
     np.asarray(run_k(arrays, x))  # compile + first run; fetch forces completion
     compile_time = time.perf_counter() - t0
@@ -123,6 +129,7 @@ def benchmark_model(model="quicknet", batch=8, iters=20, warmup=1,
         "model": spec.name,
         "batch": batch,
         "kernel": kernel,
+        **({"domain": domain} if domain != "float" else {}),
         "device": str(jax.devices()[0]),
         "compile_s": round(compile_time, 3),
         "latency_ms_p50": round(p50 * 1e3, 4),
@@ -212,13 +219,16 @@ def main(argv=None):
     p.add_argument("--int8", action="store_true",
                    help="true-int8 pipeline (calibrated; int8 stream, "
                         "int8 residual adds)")
+    p.add_argument("--domain", default="float", choices=["float", "packed"],
+                   help="packed = chain binary layers through bitpacked "
+                        "activations")
     p.add_argument("--json", action="store_true")
     args = p.parse_args(argv)
     result = benchmark_model(
         model=args.model, batch=args.batch, iters=args.iters,
         warmup=args.warmup, kernel=args.kernel, artifact_path=args.artifact,
         compute_dtype=jnp.float32 if args.f32 else jnp.bfloat16,
-        int8_pipeline=args.int8)
+        int8_pipeline=args.int8, domain=args.domain)
     if args.json:
         print(json.dumps(result))
     else:
