@@ -593,16 +593,22 @@ def import_keras_model(model, name=None):
             pool = _pairc(cfg["pool_size"])
             stride = _pairc(cfg["strides"] or cfg["pool_size"])
             meth = "max_pool" if cls == "MaxPooling2D" else "avg_pool"
+            # Pooling is range-preserving (max) / range-bounded (avg), so a
+            # pending fake-quant range keeps describing the pooled tensor —
+            # the canonical QAT idiom fq -> pool -> conv must reach the
+            # conv's in_range (ADVICE-class: silently dropping it left the
+            # artifact only partially int8).
             values[out_t.name] = _Val(emit(
                 meth, [val.sym], pool_size=list(pool), stride=list(stride),
-                padding=cfg["padding"].upper()))
+                padding=cfg["padding"].upper()), fq=val.fq)
             continue
         if cls == "GlobalAveragePooling2D":
             (val,) = in_vals(node)
             plain_input(val, layer)
             if _cfg(layer).get("keepdims"):
                 raise GraphImportError(f"{layer.name}: keepdims TODO")
-            values[out_t.name] = _Val(emit("global_avg_pool", [val.sym]))
+            values[out_t.name] = _Val(emit("global_avg_pool", [val.sym]),
+                                      fq=val.fq)
             continue
         if cls == "Add":
             vals = [plain_input(v, layer) for v in in_vals(node)]
@@ -620,7 +626,8 @@ def import_keras_model(model, name=None):
         if cls == "Flatten":
             (val,) = in_vals(node)
             plain_input(val, layer)
-            values[out_t.name] = _Val(emit("flatten", [val.sym]))
+            values[out_t.name] = _Val(emit("flatten", [val.sym]),
+                                      fq=val.fq)
             continue
         if cls == "Reshape":
             (val,) = in_vals(node)
@@ -629,7 +636,8 @@ def import_keras_model(model, name=None):
             if len(tgt) != 1:
                 raise GraphImportError(
                     f"{layer.name}: only flattening reshapes are supported")
-            values[out_t.name] = _Val(emit("flatten", [val.sym]))
+            values[out_t.name] = _Val(emit("flatten", [val.sym]),
+                                      fq=val.fq)
             continue
         if cls in ("Activation", "ReLU", "Softmax", "LeakyReLU"):
             (val,) = in_vals(node)

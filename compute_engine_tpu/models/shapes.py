@@ -25,7 +25,7 @@ from ..core.types import Padding
 from . import layers as L
 from .builder import _Base, _pair
 
-__all__ = ["binary_layer_shapes", "zoo_select_keys"]
+__all__ = ["binary_layer_shapes"]
 
 
 class _ShapeRecorder(_Base):
@@ -113,32 +113,10 @@ def binary_layer_shapes(spec, batch=1):
     return b.binary_convs, b.binary_denses
 
 
-def zoo_select_keys(models, batches=(1, 8, 128), domains=("float",),
-                    out_kinds=("float",)):
-    """Every selection-table key the given models consult.
-
-    For each model name, batch, domain and out_kind, yields the canonical
-    ``kernels.select`` key of every binary conv (and binary dense — a dense
-    is the fh=fw=1 GEMM of the same table) in that model. This is what the
-    coverage test walks instead of a hand list (VERDICT r4 weak #4).
-    """
-    from ..kernels.select import _key
-    from .zoo import get_model
-
-    keys = set()
-    for name in models:
-        spec = get_model(name)
-        for batch in batches:
-            convs, denses = binary_layer_shapes(spec, batch=batch)
-            for rec in convs:
-                for domain in domains:
-                    for out_kind in out_kinds:
-                        keys.add(_key(domain, rec["c_in"], rec["c_out"],
-                                      rec["fh"] * rec["fw"], rec["m"],
-                                      out_kind))
-            for rec in denses:
-                for domain in domains:
-                    for out_kind in out_kinds:
-                        keys.add(_key(domain, rec["c_in"], rec["units"], 1,
-                                      rec["m"], out_kind))
-    return keys
+# NOTE: the "every select key a zoo model consults" enumeration lives in
+# TWO purpose-specific walks over binary_layer_shapes — the coverage test
+# (tests/test_select.py, which needs per-layer names for its failure
+# message) and the autotune planner (scripts/autotune_table.py, which
+# needs full shape records to measure) — both keyed off the same
+# per-model (domain, out_kind) execution-mode map. Keep those two in sync
+# when adding execution modes.

@@ -97,7 +97,7 @@ def synthetic_clustered(rng, batch, size, num_classes, spread=0.35,
 
 def train_briefly(spec, params, *, steps=40, batch=32, lr=2e-3, seed=0,
                   num_classes=None, bn_momentum=0.7, data=None, protos=None,
-                  clip_norm=None):
+                  clip_norm=None, bn_eps=L.BN_EPSILON):
     """A few Adam+STE steps; returns a trained numpy parameter tree.
 
     BN moving statistics are replaced by the running average of the observed
@@ -105,6 +105,9 @@ def train_briefly(spec, params, *, steps=40, batch=32, lr=2e-3, seed=0,
     conversion sees BN folds consistent with the data distribution.
     ``clip_norm``: optional global-norm gradient clipping — deep concat
     topologies (BinaryDenseNet) diverge at the default lr without it.
+    ``bn_eps``: TRAINING-mode BN epsilon, forwarded to TrainBuilder (the
+    rsqrt-amplification guard documented there); inference/conversion keep
+    Keras' exact 1e-5.
     """
     import optax
 
@@ -119,7 +122,7 @@ def train_briefly(spec, params, *, steps=40, batch=32, lr=2e-3, seed=0,
     opt_state = opt.init(params)
 
     def loss_fn(p, x, y):
-        b = TrainBuilder(p)
+        b = TrainBuilder(p, bn_eps=bn_eps)
         logits = spec.forward(b, x)
         loss = optax.softmax_cross_entropy_with_integer_labels(
             logits, y).mean()

@@ -156,12 +156,15 @@ def main():
                 bk = select._bucket_key(domain, c_in, units, 1, batch,
                                         out_kind)
             family = bk[:5] + bk[6:]
-            winners = {v for k, v in select._TABLE.items()
-                       if k[0] == "b" and k[:5] + k[6:] == family}
-            if len(winners) == 1:
-                winner = winners.pop()
-                select._TABLE[bk] = winner
-                return winner
+            entries = [v for k, v in select._TABLE.items()
+                       if k[0] == "b" and k[:5] + k[6:] == family]
+            # Interpolation needs BOTH bracketing regimes measured AND
+            # agreeing; a single-regime family is not evidence for the
+            # middle bucket (the fc family's batch-128 and batch-8 winners
+            # genuinely differ, for example).
+            if len(entries) >= 2 and len(set(entries)) == 1:
+                select._TABLE[bk] = entries[0]
+                return entries[0]
             return None
 
         for i, cell in enumerate(cells):

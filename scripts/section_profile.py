@@ -96,9 +96,11 @@ def floors(name, batch):
     """
     B = batch
     if name == "stem_conv":
+        # bf16-compute float layer (like the other stem ops) — NOT the
+        # int8 rate the binary sections get.
         macs = B * 112 * 112 * 9 * 3 * 16
         bytes_ = B * (224 * 224 * 3 * 2 + 112 * 112 * 16 * 2)
-        return macs / INT8_MAC_PER_S, bytes_ / HBM_B_PER_S, \
+        return macs / BF16_MAC_PER_S, bytes_ / HBM_B_PER_S, \
             "input read dominates (38.6 MB bf16 at b128)"
     if name == "stem_depthwise":
         macs = B * 56 * 56 * 9 * 16

@@ -495,3 +495,31 @@ def test_qat_fakequant_ranges_absorbed(rng):
     got = np.asarray(packed_apply(spec, layers8, jnp.asarray(x),
                                   compute_dtype=jnp.float32))
     np.testing.assert_allclose(got, want, atol=0.05)
+
+
+def test_qat_fakequant_range_survives_pooling(rng):
+    """The canonical QAT idiom fq -> pool -> conv: pooling is range-
+    preserving, so the absorbed range must reach the downstream conv's
+    in_range instead of being silently dropped (round-5 review finding)."""
+    from compute_engine_tpu.converter import graph_int8_ranges
+
+    inp = L.Input((16, 16, 3))
+    y = L.Conv2D(8, 3, padding="same", use_bias=False, name="c1")(inp)
+    y = L.BatchNormalization()(y)
+    y = L.Lambda(lambda t: tf.quantization.fake_quant_with_min_max_args(
+        t, min=-4.0, max=4.0))(y)
+    y = L.MaxPooling2D(2, 2)(y)
+    y = L.Conv2D(8, 3, padding="same", use_bias=False, name="c2")(y)
+    y = L.BatchNormalization()(y)
+    y = L.GlobalAveragePooling2D()(y)
+    y = L.Dense(4)(y)
+    model = tf.keras.Model(inp, L.Softmax()(y))
+    for v in model.weights:
+        if "moving_variance" in v.name:
+            v.assign(rng.uniform(0.5, 2.0, v.shape.as_list()).astype(
+                np.float32))
+
+    spec, params = import_keras_model(model)
+    in_r, out_r = graph_int8_ranges(spec)
+    assert abs(in_r["c2"] - 4.0) < 0.1, in_r  # reached THROUGH the pool
+    assert abs(out_r["c1"] - 4.0) < 0.1, out_r
