@@ -6,6 +6,9 @@
 # Usage: scripts/ci.sh [--tpu]   (--tpu forces the TPU stage to be required)
 set -euo pipefail
 cd "$(dirname "$0")/.."
+# Self-sufficient imports: the repo is not pip-installed in CI, and the
+# TPU-stage scripts (examples/, bench.py) import the package absolutely.
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 
 echo "== lint (compile check) =="
 python -m compileall -q compute_engine_tpu tests bench.py __graft_entry__.py
