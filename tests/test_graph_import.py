@@ -523,3 +523,24 @@ def test_qat_fakequant_range_survives_pooling(rng):
     in_r, out_r = graph_int8_ranges(spec)
     assert abs(in_r["c2"] - 4.0) < 0.1, in_r  # reached THROUGH the pool
     assert abs(out_r["c1"] - 4.0) < 0.1, out_r
+
+
+def test_import_rectangular_binary_conv(rng):
+    """Non-square binary conv kernels import from the Keras graph (the
+    reference carries independent FH/FW, `core/bconv2d/params.h`)."""
+    from compute_engine_tpu.models.zoo import ModelSpec
+
+    def rect_net(b, x, num_classes=6):
+        x = b.conv_bn(x, 32, 3, stride=2, name="stem")
+        y = b.binary_conv_bn(x, 32, (1, 5), pad_value=1, name="rect_a")
+        x = b.add(x, y)
+        x = b.global_avg_pool(x)
+        x = b.dense(x, num_classes, name="head")
+        return b.softmax(x)
+
+    spec, params = golden_compare_imported(
+        ModelSpec("rect_net", rect_net, input_size=(32, 32), num_classes=6),
+        rng)
+    rec = [r for r in spec.forward.program["ops"]
+           if r["op"] == "binary_conv_bn"][0]
+    assert rec["kw"]["ksize"] == [1, 5]

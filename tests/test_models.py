@@ -147,3 +147,34 @@ def test_binary_dense_model_end2end(rng):
     layers = _check_packed_matches_float(spec, x)
     assert layers["bfc"]["kind"] == "bdense"
     assert layers["bfc"]["packed_kernel"].dtype == np.uint32
+
+
+def test_rectangular_binary_conv_end_to_end(rng):
+    """Non-square binary conv kernels (the reference accepts any FHxFW;
+    `core/bconv2d/params.h` carries independent filter dims) through
+    convert + packed execution, float-oracle faithful."""
+    import jax.numpy as jnp
+
+    from compute_engine_tpu.models import (convert_model, float_apply,
+                                           init_model, packed_apply)
+    from compute_engine_tpu.models.zoo import ModelSpec
+
+    def rect_net(b, x, num_classes=6):
+        x = b.conv_bn(x, 32, 3, stride=2, name="stem")
+        y = b.binary_conv_bn(x, 32, (1, 5), pad_value=1, name="rect_a")
+        x = b.add(x, y)
+        y = b.binary_conv_bn(x, 32, (3, 1), pad_value=0, name="rect_b")
+        x = b.add(x, y)
+        x = b.global_avg_pool(x)
+        x = b.dense(x, num_classes, name="head")
+        return b.softmax(x)
+
+    spec = ModelSpec("rect_net", rect_net, input_size=(32, 32),
+                     num_classes=6)
+    params = init_model(spec, seed=0, randomize_bn=True)
+    x = jnp.asarray(rng.normal(0, 1, (4, 32, 32, 3)).astype("float32"))
+    want = np.asarray(float_apply(spec, params, x))
+    layers = convert_model(spec, params)
+    got = np.asarray(packed_apply(spec, layers, x,
+                                  compute_dtype=jnp.float32))
+    np.testing.assert_allclose(got, want, atol=1e-5)
