@@ -109,6 +109,10 @@ class Interpreter:
 
         self._jitted = jax.jit(forward)
 
+    # -- introspection (the reference interpreter's properties:
+    # `tflite/python/interpreter_base.py:30-73` exposes input/output
+    # types, shapes, scales and zero points) -------------------------------
+
     @property
     def input_shape(self):
         return (None, *self.spec.input_size, 3)
@@ -116,6 +120,30 @@ class Interpreter:
     @property
     def output_shape(self):
         return (None, self.spec.num_classes)
+
+    @property
+    def input_type(self):
+        return np.int8 if self.input_scale is not None else np.float32
+
+    @property
+    def output_type(self):
+        return np.int8 if self.output_mode == "int8" else np.float32
+
+    @property
+    def input_scales(self):
+        return [self.input_scale]
+
+    @property
+    def input_zero_points(self):
+        return [self.input_zero_point]
+
+    @property
+    def output_scales(self):
+        return [self.output_scale]
+
+    @property
+    def output_zero_points(self):
+        return [self.output_zero_point]
 
     def __call__(self, x):
         x = jnp.asarray(x)

@@ -78,3 +78,29 @@ def test_output_mode_validation(artifact):
         Interpreter(SPEC, artifact, output_mode="bogus")
     with pytest.raises(ValueError, match="output_scale"):
         Interpreter(SPEC, artifact, output_mode="int8")
+
+
+def test_interpreter_introspection_properties(rng):
+    """Reference-parity introspection (`interpreter_base.py:30-73`):
+    types/shapes/scales/zero-points of the I/O boundary."""
+    import numpy as np
+
+    from compute_engine_tpu.models import (convert_model, init_model,
+                                           tiny_quicknet)
+    from compute_engine_tpu.runtime.interpreter import Interpreter
+
+    spec = tiny_quicknet(num_classes=8, input_size=32)
+    layers = convert_model(spec, init_model(spec, seed=0))
+    i = Interpreter(model=spec, layers=layers)
+    assert i.input_shape == (None, 32, 32, 3)
+    assert i.output_shape == (None, 8)
+    assert i.input_type == np.float32 and i.output_type == np.float32
+    assert i.input_scales == [None] and i.output_scales == [None]
+
+    i8 = Interpreter(model=spec, layers=layers, input_scale=1 / 64.0,
+                     input_zero_point=3, output_mode="int8",
+                     output_scale=1 / 127.0)
+    assert i8.input_type == np.int8 and i8.output_type == np.int8
+    assert i8.input_scales == [1 / 64.0]
+    assert i8.input_zero_points == [3]
+    assert i8.output_scales == [1 / 127.0]
