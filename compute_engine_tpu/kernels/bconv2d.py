@@ -40,15 +40,11 @@ from ..core.transforms import (
     apply_output_transform_float,
     apply_output_transform_int8,
 )
-from ..core.types import Padding
+from ..core.types import Padding, ceil_div as _cdiv
 from .bgemm import bgemm
 
 __all__ = ["bconv2d_bgemm", "bconv2d_mxu", "bconv2d_mxu_float_in",
            "bconv2d_mxu_s2d"]
-
-
-def _cdiv(a, b):
-    return -(-a // b)
 
 
 def _apply_transform(accum, transform, output_kind):
@@ -321,10 +317,21 @@ def bconv2d_mxu_s2d(x, packed_filter, transform: OutputTransform,
     wp = 2 * (cells_w + qw - 1)
     pad_val = 1 if (params.padding == Padding.SAME
                     and params.pad_value == 1) else 0
+    # Clamp to >= 0: a stride-2 VALID conv with unconsumed trailing rows
+    # has in_h > the s2d extent hp (those rows are never read by kept
+    # outputs); a negative pad amount would crash jnp.pad. Cropping to the
+    # consumed extent first is exact for the same reason.
+    pad_b = hp - in_h - pad_top
+    pad_r = wp - in_w - pad_left
+    if pad_b < 0:
+        xq = xq[:, :in_h + pad_b, :, :]
+        pad_b = 0
+    if pad_r < 0:
+        xq = xq[:, :, :in_w + pad_r, :]
+        pad_r = 0
     xq = jnp.pad(
         xq,
-        ((0, 0), (pad_top, hp - in_h - pad_top),
-         (pad_left, wp - in_w - pad_left), (0, 0)),
+        ((0, 0), (pad_top, pad_b), (pad_left, pad_r), (0, 0)),
         constant_values=pad_val)
 
     y = jax.lax.conv_general_dilated(

@@ -71,7 +71,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.types import BITWIDTH, PACKED_DTYPE, packed_size
+from ..core.types import BITWIDTH, PACKED_DTYPE, ceil_div, packed_size
 
 # VMEM budget for the persistent unpacked-weight scratch. v5e has
 # ~16 MB of VMEM per core; this leaves room for the double-buffered input
@@ -81,8 +81,7 @@ _WEIGHT_SCRATCH_BUDGET = 4 * 1024 * 1024
 _CHUNK_KW = 64  # 2048 unpacked K per slice
 
 
-def _cdiv(a, b):
-    return -(-a // b)
+_cdiv = ceil_div  # shared ceiling-division helper (core.types)
 
 
 def _round_up(x, m):
@@ -316,17 +315,23 @@ def _pick_blocks(m, kw, n, vmem_budget=None, plane_bytes=2):
     if vmem_budget is None:
         vmem_budget = _WEIGHT_SCRATCH_BUDGET
     strip_bytes_per_col = BITWIDTH * kw * plane_bytes
-    # Never exceed the (lane-padded) real N: the output is padded to
-    # round_up(N, block_n), so a 512-wide block on an N=64 GEMM would
-    # spend 8x the MXU/unpack work on dead columns (caught by the round-5
-    # ceiling model: the N=64 conv GEMM measured 2.1x its predicted
-    # bound before this cap).
-    n_cap = max(128, _round_up(n, 128))
+    # The grid pads N to round_up(N, block_n), and dead columns cost real
+    # MXU/unpack work — a 512-wide block on an N=64 GEMM would spend 8x
+    # (caught by the round-5 ceiling model: the N=64 conv GEMM measured
+    # 2.1x its predicted bound before this), and N=520 at block_n=512
+    # would pad to 1024. Among the VMEM-feasible candidates pick the one
+    # minimising the padded width; prefer the larger block on ties (fewer
+    # weight-strip unpack repetitions).
     block_n = 128
+    best_padded = _round_up(max(n, 1), 128)
     for cand in (512, 384, 256, 128):
-        if cand <= n_cap and cand * strip_bytes_per_col <= vmem_budget:
+        if cand * strip_bytes_per_col > vmem_budget:
+            continue
+        padded = _round_up(max(n, 1), cand)
+        if padded < best_padded or (padded == best_padded
+                                    and cand > block_n):
             block_n = cand
-            break
+            best_padded = padded
     if 128 * strip_bytes_per_col <= vmem_budget:
         num_k, block_kw = 1, kw
     else:
@@ -383,7 +388,10 @@ def bgemm(lhs, rhs, multiplier=None, bias=None, thresholds=None, *,
                                            plane_bytes=plane_bytes)
     block_m = (bm if block_m is None
                else _round_up(min(block_m, _round_up(m, 128)), 128))
-    block_n = bn if block_n is None else block_n
+    # Mosaic requires the lane (last) block dim to be 128-divisible; round
+    # a user override like block_m's handling above (a raw 100 would pass
+    # CPU interpret mode and fail at TPU compile).
+    block_n = bn if block_n is None else _round_up(block_n, 128)
 
     pack_outside = False
     if out_kind == "bitpacked":

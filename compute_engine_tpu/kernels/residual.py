@@ -72,8 +72,10 @@ def residual_block_supported(x_shape, params: BConv2DParams, c_out: int,
     nb = _pick_nb(n, h * w)
     m = nb * h * w
     # VMEM estimate: x/out tiles (double-buffered), padded sign tile,
-    # 9-tap matrix, weights, fp32 accumulator.
-    bytes_needed = (4 * nb * h * w * c * 2       # x in + out, 2 buffers each
+    # 9-tap matrix, weights, fp32 accumulator. The x/out term uses 4-byte
+    # elements (the f32 worst case the kernel documents — a 2-byte
+    # assumption under-counted float32 inputs 2x near the budget edge).
+    bytes_needed = (4 * nb * h * w * c * 4       # x in + out, 2 buffers each
                     + nb * (h + 2) * (w + 2) * c  # padded int8 signs
                     + m * 9 * c                   # tap matrix int8
                     + 9 * c * c_out               # weights int8

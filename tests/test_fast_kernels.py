@@ -235,3 +235,27 @@ def test_float_in_int8_operands_bit_exact(case, rng):
     got = np.asarray(bconv2d_mxu_float_in(x_float, wp, transform, params,
                                           "float", conv_dtype=jnp.int8))
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_s2d_stride2_valid_unconsumed_rows(rng):
+    """Round-5 review regression: a stride-2 VALID conv whose input has
+    trailing rows no output window reads used to produce a NEGATIVE pad
+    amount in the s2d retile and crash at trace time; the retile must
+    crop instead (exact — those rows are never read)."""
+    from compute_engine_tpu.core.transforms import fuse_output_transform
+    from compute_engine_tpu.kernels.bconv2d import (bconv2d_mxu_float_in,
+                                                    bconv2d_mxu_s2d)
+
+    for (h, fh) in ((9, 2), (11, 4)):
+        c_in, c_out = 16, 32
+        x = jnp.asarray(rng.normal(0, 1, (2, h, h, c_in)).astype(np.float32))
+        wp = bitpack(jnp.asarray(rng.choice(
+            [-1.0, 1.0], (c_out, fh, fh, c_in)).astype(np.float32)))
+        params = BConv2DParams(channels_in=c_in, stride=(2, 2),
+                               padding=Padding.VALID)
+        tr = fuse_output_transform(
+            np.ones(c_out, np.float32), np.zeros(c_out, np.float32),
+            fh * fh * c_in)
+        want = np.asarray(bconv2d_mxu_float_in(x, wp, tr, params, "float"))
+        got = np.asarray(bconv2d_mxu_s2d(x, wp, tr, params, "float"))
+        np.testing.assert_allclose(got, want, atol=1e-5)
